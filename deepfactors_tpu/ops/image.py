@@ -1,0 +1,173 @@
+"""Image processing ops: bilinear sampling, Sobel gradients, Gaussian
+blur-downsample, pyramid construction, squared error, depth materialization.
+
+TPU-native equivalents of the reference CUDA kernels in
+sources/cuda/cu_image_proc.cpp:
+  - SobelGradients (cu_image_proc.cpp:57-112): canonical 3x3 Sobel, /8,
+    clamped borders.
+  - GaussianBlurDown (cu_image_proc.cpp:134-183): 5x5 binomial blur + 2x
+    decimation with boundary renormalization (clamped taps, weight wall).
+  - SquaredError (cu_image_proc.cpp:190-232).
+  - UpdateDepth (cu_image_proc.cpp:248-278): dpt = ProxToDepth(prx0 + J·c).
+
+Convolutions are expressed as XLA convs (fused and tiled by the compiler —
+the CUDA hand-scheduling disappears); bilinear sampling is a vectorized
+gather, the memory pattern that also backs the dense aligners.
+
+Image layout: [H, W] float arrays; pixel coords (x, y), x along W.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import warping
+
+Array = jax.Array
+
+
+# ----------------------------------------------------------------------------
+# Bilinear sampling (VisionCore Image2D::getBilinear equivalent)
+# ----------------------------------------------------------------------------
+
+def bilinear_sample(img: Array, pix: Array) -> Array:
+    """Sample img [H, W] at float pixels pix [..., 2] (x, y).
+
+    Uses floor-based bilinear interpolation like VisionCore's getBilinear.
+    Out-of-range coords are clamped; callers mask validity separately.
+    """
+    H, W = img.shape[-2], img.shape[-1]
+    x = pix[..., 0]
+    y = pix[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+
+    flat = img.reshape(img.shape[:-2] + (H * W,))
+    take = lambda yy, xx: jnp.take(flat, yy * W + xx, axis=-1)
+    v00 = take(y0i, x0i)
+    v01 = take(y0i, x1i)
+    v10 = take(y1i, x0i)
+    v11 = take(y1i, x1i)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def bilinear_sample_multi(imgs: Array, pix: Array) -> Array:
+    """Sample C images [C, H, W] at the same pixels [..., 2] -> [..., C]."""
+    out = jax.vmap(lambda im: bilinear_sample(im, pix))(imgs)
+    return jnp.moveaxis(out, 0, -1)
+
+
+# ----------------------------------------------------------------------------
+# Sobel gradients (cu_image_proc.cpp:57-112)
+# ----------------------------------------------------------------------------
+
+_SOBEL_X = jnp.array(
+    [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], dtype=jnp.float32
+)
+_SOBEL_Y = jnp.array(
+    [[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]], dtype=jnp.float32
+)
+
+
+def _conv2d_clamped(img: Array, kernel: Array) -> Array:
+    """2D correlation with clamped (edge-replicate) borders, [H, W] in/out."""
+    kh, kw = kernel.shape
+    ph, pw = kh // 2, kw // 2
+    padded = jnp.pad(img, ((ph, ph), (pw, pw)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        padded[None, None, :, :],
+        kernel[None, None, :, :],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0, 0]
+
+
+def sobel_gradients(img: Array) -> Array:
+    """[H, W] -> [H, W, 2] (dx, dy), divided by 8 like the reference."""
+    gx = _conv2d_clamped(img, _SOBEL_X) / 8.0
+    gy = _conv2d_clamped(img, _SOBEL_Y) / 8.0
+    return jnp.stack([gx, gy], axis=-1)
+
+
+# ----------------------------------------------------------------------------
+# Gaussian blur + 2x downsample (cu_image_proc.cpp:134-183)
+# ----------------------------------------------------------------------------
+
+_GAUSS5 = jnp.array(
+    [
+        [1.0, 4.0, 6.0, 4.0, 1.0],
+        [4.0, 16.0, 24.0, 16.0, 4.0],
+        [6.0, 24.0, 36.0, 24.0, 6.0],
+        [4.0, 16.0, 24.0, 16.0, 4.0],
+        [1.0, 4.0, 6.0, 4.0, 1.0],
+    ],
+    dtype=jnp.float32,
+)
+
+
+def gaussian_blur_down(img: Array) -> Array:
+    """[H, W] -> [H//2, W//2]: 5x5 binomial blur at even pixels with clamped
+    taps; reference renormalizes by the sum of kernel weights ('wall') which
+    is constant under clamping, so /256."""
+    Ho, Wo = img.shape[0] // 2, img.shape[1] // 2
+    # output pixel (x,y) taps input at 2x+px-2, 2y+py-2 for px,py in [0,5)
+    padded = jnp.pad(img, ((2, 2), (2, 2)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        padded[None, None, :, :],
+        _GAUSS5[None, None, :, :],
+        window_strides=(2, 2),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+    out = out / jnp.sum(_GAUSS5)
+    return out[:Ho, :Wo]
+
+
+def build_pyramid(img: Array, levels: int):
+    """Image pyramid [finest..coarsest] via gaussian_blur_down, matching the
+    reference's Frame::FillPyramids (frame.h:80-94)."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(gaussian_blur_down(pyr[-1]))
+    return pyr
+
+
+def build_gradient_pyramid(img_pyr):
+    return [sobel_gradients(im) for im in img_pyr]
+
+
+# ----------------------------------------------------------------------------
+# Squared error (cu_image_proc.cpp:190-232)
+# ----------------------------------------------------------------------------
+
+def squared_error(a: Array, b: Array) -> Array:
+    d = a - b
+    return jnp.sum(d * d)
+
+
+# ----------------------------------------------------------------------------
+# UpdateDepth: code -> depth materialization (cu_image_proc.cpp:248-278)
+# ----------------------------------------------------------------------------
+
+def update_depth(code: Array, prx_orig: Array, prx_jac: Array, avg_dpt) -> Array:
+    """dpt[y,x] = ProxToDepth(prx_orig[y,x] + prx_jac[y,x,:]·code, avg_dpt).
+
+    prx_jac is stored [H, W, CS] (the reference packs it as a W*CS x H image,
+    keyframe.h:92 — here it is a dense tensor that maps to one MXU matmul).
+    """
+    prx = prx_orig + jnp.einsum(
+        "hwc,c->hw", prx_jac, code, preferred_element_type=jnp.float32
+    )
+    return warping.prox_to_depth(prx, avg_dpt)
