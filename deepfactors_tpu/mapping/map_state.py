@@ -1,0 +1,148 @@
+"""Struct-of-arrays keyframe map with fixed capacity and active masks.
+
+TPU-native redesign of the reference's pointer-based Map/FrameGraph/Keyframe
+(sources/core/mapping/keyframe_map.h:31-129, keyframe.h:33-97, frame.h:35-120):
+all keyframe state lives in dense [K, ...] tensors (one pytree), so mapping
+steps jit once, factors batch with vmap/gather, and the map shards across
+devices by the keyframe axis. Links are an index table instead of adjacency
+lists. Shapes are static; "allocation" flips an active flag.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3 as se3m
+from ..geometry.se3 import SE3
+from ..geometry import warping as wp
+from ..ops import image as ip
+
+Array = jax.Array
+
+
+class LevelData(NamedTuple):
+    """Per-pyramid-level keyframe tensors, each [K, H_l, W_l, ...]."""
+
+    img: Array    # [K, H, W]
+    grad: Array   # [K, H, W, 2]
+    prx0: Array   # [K, H, W] zero-code proximity (pyr_prx_orig)
+    jac: Array    # [K, H, W, CS] code jacobian (pyr_jac)
+    stdev: Array  # [K, H, W] log-b uncertainty
+    dpt: Array    # [K, H, W] materialized depth (pyr_dpt)
+    vld: Array    # [K, H, W] validity (pyr_vld)
+
+
+class MapState(NamedTuple):
+    """The keyframe map. Capacity K static; ``active`` masks live slots."""
+
+    active: Array   # [K] bool
+    ids: Array      # [K] int32 assigned keyframe id (IndexedMap equivalent)
+    pose: SE3       # q [K, 4], t [K, 3] — camera-to-world
+    code: Array     # [K, CS]
+    levels: tuple   # tuple[LevelData], finest first
+    # undirected link table (keyframe_map.h links), stored directed per slot
+    link_src: Array     # [Lmax] int32 slot index
+    link_dst: Array     # [Lmax] int32 slot index
+    link_active: Array  # [Lmax] bool
+    next_id: Array      # [] int32
+
+
+def create(K: int, CS: int, H: int, W: int, num_levels: int, max_links: int) -> MapState:
+    levels = []
+    for l in range(num_levels):
+        h, w = H >> l, W >> l
+        levels.append(
+            LevelData(
+                img=jnp.zeros((K, h, w), jnp.float32),
+                grad=jnp.zeros((K, h, w, 2), jnp.float32),
+                prx0=jnp.zeros((K, h, w), jnp.float32),
+                jac=jnp.zeros((K, h, w, CS), jnp.float32),
+                stdev=jnp.zeros((K, h, w), jnp.float32),
+                dpt=jnp.ones((K, h, w), jnp.float32),
+                vld=jnp.zeros((K, h, w), jnp.float32),
+            )
+        )
+    return MapState(
+        active=jnp.zeros((K,), bool),
+        ids=jnp.full((K,), -1, jnp.int32),
+        pose=se3m.identity((K,)),
+        code=jnp.zeros((K, CS), jnp.float32),
+        levels=tuple(levels),
+        link_src=jnp.zeros((max_links,), jnp.int32),
+        link_dst=jnp.zeros((max_links,), jnp.int32),
+        link_active=jnp.zeros((max_links,), bool),
+        next_id=jnp.asarray(0, jnp.int32),
+    )
+
+
+def num_keyframes(state: MapState) -> Array:
+    return jnp.sum(state.active.astype(jnp.int32))
+
+
+def add_keyframe(
+    state: MapState,
+    slot: int,
+    pose: SE3,
+    code: Array,
+    img_pyr: Sequence[Array],
+    grad_pyr: Sequence[Array],
+    prx0_pyr: Sequence[Array],
+    jac_pyr: Sequence[Array],
+    stdev_pyr: Sequence[Array],
+    avg_dpt: float,
+) -> MapState:
+    """Write a decoded keyframe into slot (Mapper::BuildKeyframe equivalent,
+    mapper.cpp:919-1007 — pyramids come from the decoder + image ops; depth is
+    materialized immediately like the UpdateDepth calls at mapper.cpp:984-991)."""
+    new_levels = []
+    for l, lvl in enumerate(state.levels):
+        dpt = ip.update_depth(code, prx0_pyr[l], jac_pyr[l], avg_dpt)
+        new_levels.append(
+            LevelData(
+                img=lvl.img.at[slot].set(img_pyr[l]),
+                grad=lvl.grad.at[slot].set(grad_pyr[l]),
+                prx0=lvl.prx0.at[slot].set(prx0_pyr[l]),
+                jac=lvl.jac.at[slot].set(jac_pyr[l]),
+                stdev=lvl.stdev.at[slot].set(stdev_pyr[l]),
+                dpt=lvl.dpt.at[slot].set(dpt),
+                vld=lvl.vld.at[slot].set(jnp.ones_like(dpt)),
+            )
+        )
+    return state._replace(
+        active=state.active.at[slot].set(True),
+        ids=state.ids.at[slot].set(state.next_id),
+        pose=SE3(
+            state.pose.q.at[slot].set(pose.q), state.pose.t.at[slot].set(pose.t)
+        ),
+        code=state.code.at[slot].set(code),
+        levels=tuple(new_levels),
+        next_id=state.next_id + 1,
+    )
+
+
+def update_depth_all(state: MapState, avg_dpt: float) -> MapState:
+    """Re-materialize depth pyramids from current codes for ALL active
+    keyframes (the UpdateMap writeback, mapper.cpp:859-899) — one batched
+    einsum per level instead of per-keyframe kernel launches."""
+    new_levels = []
+    for lvl in state.levels:
+        prx = lvl.prx0 + jnp.einsum(
+            "khwc,kc->khw", lvl.jac, state.code, preferred_element_type=jnp.float32
+        )
+        dpt = wp.prox_to_depth(prx, avg_dpt)
+        new_levels.append(lvl._replace(dpt=dpt))
+    return state._replace(levels=tuple(new_levels))
+
+
+def add_link(state: MapState, link_idx: int, src: Array, dst: Array) -> MapState:
+    return state._replace(
+        link_src=state.link_src.at[link_idx].set(src),
+        link_dst=state.link_dst.at[link_idx].set(dst),
+        link_active=state.link_active.at[link_idx].set(True),
+    )
+
+
+def poses_of(state: MapState, slots: Array) -> SE3:
+    return SE3(state.pose.q[slots], state.pose.t[slots])

@@ -1,0 +1,131 @@
+"""Dense block assembly + damped solving for factor-graph MAP inference.
+
+TPU-native replacement for GTSAM's HessianFactor/JacobianFactor elimination
+(the reference drives ISAM2 from mapper.cpp:517-533 and splits the per-factor
+44x44 system into Hessian blocks at photometric_factor.cpp:135-161).
+
+Design: variables live in fixed-capacity arrays (K keyframe poses [K, 6] and
+codes [K, CS] in tangent/linear space); each factor contributes a dense
+(D_f x D_f) GN system plus the global indices of its variable slots. Assembly
+is ONE scatter-add of [P, D_f, D_f] blocks into the global Hessian — XLA
+compiles this to an efficient dense update, and the subsequent solve is a
+single Cholesky (or a Schur-complement solve eliminating the per-keyframe code
+blocks first, which is the unit of communication for the distributed BA path,
+SURVEY.md §2.3).
+
+Inactive variables are masked by identity rows so the solve stays static-shape.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class GlobalSystem(NamedTuple):
+    H: Array  # [D, D]
+    b: Array  # [D]  (gradient: Jtr)
+
+
+def factor_slot_indices(idx0: Array, idx1: Array, K: int, CS: int) -> Array:
+    """Global variable indices for a photometric factor (pose0, pose1, code0).
+
+    Layout: poses occupy [0, 6K), code i occupies [6K + i*CS, 6K + (i+1)*CS).
+    Returns [..., 12 + CS] int32 index vectors.
+    """
+    pose0 = idx0[..., None] * 6 + jnp.arange(6)
+    pose1 = idx1[..., None] * 6 + jnp.arange(6)
+    code0 = 6 * K + idx0[..., None] * CS + jnp.arange(CS)
+    return jnp.concatenate([pose0, pose1, code0], axis=-1).astype(jnp.int32)
+
+
+def assemble(
+    D: int,
+    factor_H: Array,      # [P, Df, Df]
+    factor_b: Array,      # [P, Df]
+    factor_idx: Array,    # [P, Df] global indices
+    factor_active: Array,  # [P] bool
+) -> GlobalSystem:
+    """Scatter-add all factor systems into a global dense system."""
+    w = factor_active.astype(factor_H.dtype)
+    Hf = factor_H * w[:, None, None]
+    bf = factor_b * w[:, None]
+    H = jnp.zeros((D, D), factor_H.dtype)
+    b = jnp.zeros((D,), factor_b.dtype)
+    H = H.at[factor_idx[:, :, None], factor_idx[:, None, :]].add(Hf)
+    b = b.at[factor_idx].add(bf)
+    return GlobalSystem(H, b)
+
+
+def add_diagonal_prior(
+    sys: GlobalSystem, idx: Array, weight: Array, residual: Array
+) -> GlobalSystem:
+    """Gaussian prior on variables at ``idx``: H += w·I, b += w·r where r is
+    the current residual (x - x_prior) in local coordinates. Mirrors the
+    reference's zero-pose/zero-code prior factors (df_work.cpp:29-57)."""
+    H = sys.H.at[idx, idx].add(weight)
+    b = sys.b.at[idx].add(weight * residual)
+    return GlobalSystem(H, b)
+
+
+def mask_inactive(sys: GlobalSystem, active_mask: Array) -> GlobalSystem:
+    """Pin inactive variable slots: zero their rows/cols and put 1 on the
+    diagonal so the Cholesky stays well-posed and their update is 0."""
+    m = active_mask.astype(sys.H.dtype)
+    H = sys.H * m[:, None] * m[None, :]
+    H = H + jnp.diag(1.0 - m)
+    b = sys.b * m
+    return GlobalSystem(H, b)
+
+
+def solve_damped(sys: GlobalSystem, lam: Array) -> Array:
+    """Levenberg-Marquardt step: solve (H + lam·diag(H)+eps·I) dx = -b."""
+    D = sys.H.shape[0]
+    damping = lam * jnp.diag(sys.H) + 1e-8
+    A = sys.H + jnp.diag(damping)
+    L, low = jax.scipy.linalg.cho_factor(A, lower=True)
+    return -jax.scipy.linalg.cho_solve((L, low), sys.b)
+
+
+def solve_schur_codes(
+    sys: GlobalSystem, K: int, CS: int, lam: Array
+) -> Array:
+    """Solve eliminating per-keyframe code blocks by Schur complement.
+
+    The global system has pose block P [6K, 6K], code-diagonal blocks
+    C_i [CS, CS] (codes of different keyframes only couple through poses in
+    the photometric factor structure — the 44x44 factor touches one code),
+    and coupling W [6K, K*CS].
+
+    Reduced system: (P - W C^-1 W^T) dp = -(b_p - W C^-1 b_c), then
+    dc_i = -C_i^-1 (b_c_i + W_i^T dp). This is the distributed-BA unit:
+    C_i^-1 reductions are per-keyframe-local; only the 6K pose system is
+    global (SURVEY.md §7.1).
+    """
+    Dp = 6 * K
+    damping = lam * jnp.diag(sys.H) + 1e-8
+    H = sys.H + jnp.diag(damping)
+    P = H[:Dp, :Dp]
+    W = H[:Dp, Dp:]
+    bp = sys.b[:Dp]
+    bc = sys.b[Dp:]
+
+    # block-diagonal code inverse: [K, CS, CS]
+    C = H[Dp:, Dp:].reshape(K, CS, K, CS)
+    Cd = jax.vmap(lambda i: jax.lax.dynamic_slice(C, (i, 0, i, 0), (1, CS, 1, CS))
+                  .reshape(CS, CS))(jnp.arange(K))
+    Cinv = jax.vmap(jnp.linalg.inv)(Cd)  # [K, CS, CS]
+
+    Wb = W.reshape(Dp, K, CS)
+    CinvWt = jnp.einsum("kcd,pkd->kcp", Cinv, Wb)      # [K, CS, Dp]
+    S = P - jnp.einsum("pkc,kcq->pq", Wb, CinvWt)       # [Dp, Dp]
+    Cinv_bc = jnp.einsum("kcd,kd->kc", Cinv, bc.reshape(K, CS))
+    rhs = bp - jnp.einsum("pkc,kc->p", Wb, Cinv_bc)
+
+    L, low = jax.scipy.linalg.cho_factor(S, lower=True)
+    dp = -jax.scipy.linalg.cho_solve((L, low), rhs)
+    dc = -(Cinv_bc + jnp.einsum("kcp,p->kc", CinvWt, dp))
+    return jnp.concatenate([dp, dc.reshape(-1)])

@@ -1,0 +1,124 @@
+"""Dense SE(3) camera tracker: coarse-to-fine Gauss-Newton odometry against
+the active keyframe.
+
+Reimplements sources/core/system/camera_tracker.{h,cpp} TPU-first: the whole
+coarse-to-fine iteration schedule is ONE jitted function (per-level loops are
+lax.fori_loop, level transitions are unrolled statically), so a TrackFrame is
+a single device dispatch instead of ~20 kernel launches + D->H copies
+(camera_tracker.cpp:42-91).
+
+Pose state: pose_ck maps keyframe (cam k) points into the current frame
+(cam c). World pose: pose_wc = pose_wk * pose_ck^-1
+(camera_tracker.cpp:98-103).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3 as se3m
+from ..geometry.se3 import SE3
+from ..geometry.camera import PinholeCamera, camera_pyramid
+from ..ops import dense_sfm as ds
+
+Array = jax.Array
+
+
+class TrackerConfig(NamedTuple):
+    pyramid_levels: int = 3
+    iterations_per_level: tuple = (10, 5, 4)  # finest-first like reference
+    huber_delta: float = 0.3
+
+
+class TrackResult(NamedTuple):
+    pose_ck: SE3
+    inliers: Array   # fraction of valid pixels at the finest level
+    error: Array     # avg residual at finest level (inf if no inliers)
+
+
+def _make_track_fn(cfg: TrackerConfig, cam: PinholeCamera):
+    cams = camera_pyramid(cam, cfg.pyramid_levels)
+
+    def track(pose_q, pose_t, kf_imgs, kf_dpts, imgs, grads):
+        """kf_imgs/kf_dpts/imgs/grads: tuples of per-level arrays."""
+        pose = SE3(pose_q, pose_t)
+        inliers = jnp.asarray(0.0)
+        error = jnp.asarray(jnp.inf)
+        for level in reversed(range(cfg.pyramid_levels)):
+            img0, dpt0 = kf_imgs[level], kf_dpts[level]
+            img1, grad1 = imgs[level], grads[level]
+            n_iters = cfg.iterations_per_level[level]
+
+            def body(_, carry):
+                q, t, _inl, _err = carry
+                sys = ds.se3_step(
+                    SE3(q, t), cams[level], img0, img1, dpt0, grad1,
+                    cfg.huber_delta,
+                )
+                new_pose = ds.se3_solve_and_update(
+                    sys.JtJ, sys.Jtr, SE3(q, t), damping=1e-8
+                )
+                inl = sys.inliers / (img1.shape[0] * img1.shape[1])
+                err = jnp.where(
+                    sys.inliers > 0, sys.residual / jnp.maximum(sys.inliers, 1.0),
+                    jnp.inf,
+                )
+                return new_pose.q, new_pose.t, inl, err
+
+            q, t, inliers, error = jax.lax.fori_loop(
+                0, n_iters, body, (pose.q, pose.t, inliers, error)
+            )
+            pose = SE3(q, t)
+        return pose.q, pose.t, inliers, error
+
+    return jax.jit(track)
+
+
+class CameraTracker:
+    """Stateful facade mirroring the reference CameraTracker."""
+
+    def __init__(self, cfg: TrackerConfig, cam: PinholeCamera):
+        assert len(cfg.iterations_per_level) == cfg.pyramid_levels
+        self.cfg = cfg
+        self.cam = cam
+        self._track = _make_track_fn(cfg, cam)
+        self.pose_ck: SE3 = se3m.identity()
+        self.kf_imgs = None
+        self.kf_dpts = None
+        self.kf_pose_wk: SE3 = se3m.identity()
+        self.inliers = 0.0
+        self.error = float("inf")
+
+    def set_keyframe(self, kf_imgs, kf_dpts, pose_wk: SE3):
+        """SetKeyframe (camera_tracker.cpp:105-120): preserve the world pose
+        across the keyframe switch."""
+        if self.kf_imgs is not None:
+            pose_wc = se3m.mul(self.kf_pose_wk, se3m.inverse(self.pose_ck))
+            self.pose_ck = se3m.mul(se3m.inverse(pose_wc), pose_wk)
+        self.kf_imgs = tuple(kf_imgs)
+        self.kf_dpts = tuple(kf_dpts)
+        self.kf_pose_wk = pose_wk
+
+    def set_pose(self, pose_wc: SE3):
+        self.pose_ck = se3m.mul(se3m.inverse(pose_wc), self.kf_pose_wk)
+
+    def track_frame(self, img_pyr, grad_pyr) -> TrackResult:
+        if self.kf_imgs is None:
+            raise RuntimeError("TrackFrame called before a keyframe was set")
+        q, t, inl, err = self._track(
+            self.pose_ck.q, self.pose_ck.t,
+            self.kf_imgs, self.kf_dpts, tuple(img_pyr), tuple(grad_pyr),
+        )
+        self.pose_ck = SE3(q, t)
+        self.inliers = float(inl)
+        self.error = float(err)
+        return TrackResult(self.pose_ck, inl, err)
+
+    def get_pose_estimate(self) -> SE3:
+        return se3m.mul(self.kf_pose_wk, se3m.inverse(self.pose_ck))
+
+    def reset(self):
+        self.pose_ck = se3m.identity()
