@@ -178,10 +178,20 @@ def _empty_pool(P: int) -> FactorPool:
     )
 
 
-def _make_step_fn(cfg: MapperConfig, cam: PinholeCamera):
-    """Build the jitted full-window GN step. Static: cfg, camera pyramid."""
+def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
+    """Build the jitted multi-iteration GN runner.
+
+    Runs up to ``n_iters`` full-window GN iterations on-device in a
+    lax.while_loop, exiting early once the update norm drops below the
+    relinearization threshold (the reference's "no variables relinearized"
+    descent signal, mapper.cpp:535-539) — ONE host sync per work phase
+    instead of per iteration (critical: a D2H sync costs ~50ms through the
+    axon TPU tunnel).
+
+    ``levels_present`` is static so only pyramid levels with live factors are
+    evaluated (bounded recompile count: one per level subset seen).
+    """
     K, CS, F, L = cfg.max_keyframes, cfg.code_size, cfg.max_frames, cfg.pyramid_levels
-    P = cfg.max_factors
     Dp, Dc = 6 * K, CS * K
     D = Dp + Dc + 6 * F
     cams = camera_pyramid(cam, L)
@@ -210,34 +220,26 @@ def _make_step_fn(cfg: MapperConfig, cam: PinholeCamera):
             lvl.jac[src], flv.grad[dst],
         )
 
-    def step(
-        state: ms.MapState,
-        frames_: fr.FrameStore,
-        pool_src: Array, pool_dst: Array, pool_isf: Array,
-        pool_level: Array, pool_active: Array,
-        kf_var_mask: Array,      # [K] optimize this keyframe's pose+code
-        frame_var_mask: Array,   # [F]
-        anchor_slot: Array,      # [] int32 — pose-prior keyframe
-        anchor_q: Array, anchor_t: Array,  # prior pose value
-        lam: Array,
+    def gn_iteration(
+        state, frames_, pool_src, pool_dst, pool_isf, pool_level, pool_active,
+        kf_var_mask, frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
+        levels_present,
     ):
         # Relinearization point: depth from current codes
         # (PhotometricFactor::UpdateDepthMaps, photometric_factor.cpp:332-341)
         state = ms.update_depth_all(state, cfg.avg_dpt)
 
         all_H, all_b, all_idx, all_act = [], [], [], []
-        for l in range(L):
+        for l in levels_present:
             at_l = pool_active & (pool_level == l)
             kk = at_l & ~pool_isf
             kfm = at_l & pool_isf
-            # keyframe-target factors
             batch = fct.photometric_batch(
                 state, pool_src, pool_dst, l, cams[l], params
             )
             idx_kk = sysm.factor_slot_indices(pool_src, pool_dst, K, CS)
             all_H.append(batch.JtJ); all_b.append(batch.Jtr)
             all_idx.append(idx_kk); all_act.append(kk)
-            # frame-target factors
             if F > 0:
                 fb = frame_photo_batch(state, frames_, pool_src, pool_dst, l)
                 pose1_idx = Dp + Dc + pool_dst[:, None] * 6 + jnp.arange(6)
@@ -287,19 +289,46 @@ def _make_step_fn(cfg: MapperConfig, cam: PinholeCamera):
         else:
             delta = sysm.solve_damped(gsys, lam)
 
-        # apply updates
         dpose = delta[:Dp].reshape(K, 6)
         dcode = delta[Dp:Dp + Dc].reshape(K, CS)
         new_pose = jax.vmap(se3m.retract)(state.pose, dpose)
         state = state._replace(pose=new_pose, code=state.code + dcode)
         if F > 0:
             dfr = delta[Dp + Dc:].reshape(F, 6)
-            frames_ = frames_._replace(pose=jax.vmap(se3m.retract)(frames_.pose, dfr))
+            frames_ = frames_._replace(
+                pose=jax.vmap(se3m.retract)(frames_.pose, dfr)
+            )
 
         max_delta = jnp.max(jnp.abs(delta * vmask.astype(delta.dtype)))
         return state, frames_, max_delta
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    @functools.partial(jax.jit, static_argnames=("levels_present",))
+    def run(
+        state, frames_, pool_src, pool_dst, pool_isf, pool_level, pool_active,
+        kf_var_mask, frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
+        n_iters, levels_present,
+    ):
+        def cond(carry):
+            state, frames_, i, delta = carry
+            return (i < n_iters) & (delta >= cfg.relin_threshold)
+
+        def body(carry):
+            state, frames_, i, _ = carry
+            state, frames_, max_delta = gn_iteration(
+                state, frames_, pool_src, pool_dst, pool_isf, pool_level,
+                pool_active, kf_var_mask, frame_var_mask, anchor_slot,
+                anchor_q, anchor_t, lam, levels_present,
+            )
+            return state, frames_, i + 1, max_delta
+
+        state, frames_, iters_done, last_delta = jax.lax.while_loop(
+            cond, body, (state, frames_, jnp.asarray(0), jnp.asarray(jnp.inf))
+        )
+        return state, frames_, jnp.stack(
+            [iters_done.astype(jnp.float32), last_delta]
+        )
+
+    return run
 
 
 # ----------------------------------------------------------------------------
@@ -320,7 +349,7 @@ class Mapper:
                                 cfg.pyramid_levels)
         self.pool = _empty_pool(cfg.max_factors)
         self.work = WorkManager()
-        self._step_fn = _make_step_fn(cfg, cam)
+        self._run_fn = _make_run_fn(cfg, cam)
         # host-side bookkeeping
         self.kf_slots: list[int] = []      # insertion order of live slots
         self.frame_slots: list[int] = []
@@ -448,7 +477,17 @@ class Mapper:
 
     def _add_photo_pair(self, s0: int, s1: int, second_removes: bool = False):
         """Both-way photometric works (mapper.cpp:305-311). The second
-        direction carries remove_after like the reference."""
+        direction carries remove_after like the reference. A new work on an
+        existing pair replaces the old persistent factor (bounded pool)."""
+        for a, b in ((s0, s1), (s1, s0)):
+            for i in range(self.cfg.max_factors):
+                if (self.pool.active[i] and not self.pool.dst_is_frame[i]
+                        and self.pool.src[i] == a and self.pool.dst[i] == b):
+                    self.pool.active[i] = False
+            for w in list(self.work.work):
+                if (isinstance(w, PhotoWork) and not w.dst_is_frame
+                        and w.src == a and w.dst == b):
+                    self.work.work.remove(w)
         self.work.add(PhotoWork(s0, s1, False, self.cfg.pho_iters))
         self.work.add(
             PhotoWork(s1, s0, False, self.cfg.pho_iters,
@@ -519,16 +558,39 @@ class Mapper:
                 self.pool.active[i] = True
 
     def mapping_step(self):
-        """One MappingStep (mapper.cpp:449-552)."""
+        """One mapping *phase*: runs GN iterations on-device until the next
+        schedule boundary (any work's level-budget exhausts) or convergence
+        (update norm < relin_threshold — the reference's no-relinearize
+        signal). Equivalent to a run of reference MappingSteps
+        (mapper.cpp:449-552) with ONE host sync."""
         if self.work.empty():
             return
         self._bookkeeping()
+
+        # iterations until the next factor-set change
+        budget = 1
+        budgets = [
+            w.iters[w.active_level] + 1
+            for w in self.work.work
+            if isinstance(w, PhotoWork) and w.active_level >= 0
+        ]
+        if budgets:
+            budget = max(1, min(budgets))
+
+        levels_present = tuple(
+            sorted({int(l) for l, a in zip(self.pool.level, self.pool.active) if a})
+        )
+        if not levels_present:
+            # nothing to optimize; still tick the schedule once
+            self.work.update()
+            self.work.sweep_finished()
+            return
 
         kf_mask = jnp.ones((self.cfg.max_keyframes,), bool)
         fr_mask = jnp.ones((self.cfg.max_frames,), bool)
         anchor = self.kf_slots[0] if self.kf_slots else 0
 
-        self.state, self.frames, max_delta = self._step_fn(
+        self.state, self.frames, stats = self._run_fn(
             self.state, self.frames,
             jnp.asarray(self.pool.src), jnp.asarray(self.pool.dst),
             jnp.asarray(self.pool.dst_is_frame), jnp.asarray(self.pool.level),
@@ -537,10 +599,14 @@ class Mapper:
             jnp.asarray(anchor, jnp.int32),
             self._anchor_pose.q, self._anchor_pose.t,
             jnp.asarray(self.cfg.lm_lambda, jnp.float32),
+            jnp.asarray(budget, jnp.int32), levels_present,
         )
-        self.last_max_delta = float(max_delta)
+        iters_done_f, last_delta = jax.device_get(stats)
+        iters_done = max(1, int(iters_done_f))
+        self.last_max_delta = float(last_delta)
 
-        self.work.update()
+        for _ in range(iters_done):
+            self.work.update()
         if self.last_max_delta < self.cfg.relin_threshold:
             self.work.signal_no_relinearize()
         self.work.sweep_finished()

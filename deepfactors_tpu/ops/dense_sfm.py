@@ -32,7 +32,11 @@ from ..geometry import warping as wp
 from ..geometry.m_estimators import huber_weight
 from ..geometry.se3 import SE3
 from ..geometry.camera import PinholeCamera
-from .image import bilinear_sample
+from .image import (
+    bilinear_sample,
+    bilinear_sample_quad,
+    pack_bilinear_quad,
+)
 
 Array = jax.Array
 
@@ -115,11 +119,11 @@ def sfm_step(
     corresp = wp.find_correspondence(
         pix0, dpt, cam, pose_10, border=params.valid_border, min_dpt=params.min_dpt
     )
-    # image terms at warped coords
-    i1 = bilinear_sample(img1, corresp.pix1)
-    gx = bilinear_sample(grad1[..., 0], corresp.pix1)
-    gy = bilinear_sample(grad1[..., 1], corresp.pix1)
-    grad = jnp.stack([gx, gy], axis=-1)  # [N, 2]
+    # image terms at warped coords: ONE gather for (img, gx, gy) x 4 corners
+    packed = jnp.concatenate([img1[..., None], grad1], axis=-1)  # [H, W, 3]
+    sampled = bilinear_sample_quad(pack_bilinear_quad(packed), corresp.pix1)
+    i1 = sampled[..., 0]
+    grad = sampled[..., 1:3]  # [N, 2]
 
     # pose jacobians: J_pose = -grad @ corresp_J_pose10 @ pose10_J_pose{0,1}
     cJp = wp.correspondence_jacobian_pose(corresp, dpt, cam, pose_10)  # [N, 2, 6]
@@ -198,12 +202,12 @@ def se3_step(
     pix0 = _pixel_grid(H, W).reshape(-1, 2)
     dpt = dpt0.reshape(-1)
     corresp = wp.find_correspondence(pix0, dpt, cam, pose_10, border=1, min_dpt=0.0)
-    gx = bilinear_sample(grad1[..., 0], corresp.pix1)
-    gy = bilinear_sample(grad1[..., 1], corresp.pix1)
-    grad = jnp.stack([gx, gy], axis=-1)
+    packed = jnp.concatenate([img1[..., None], grad1], axis=-1)
+    sampled = bilinear_sample_quad(pack_bilinear_quad(packed), corresp.pix1)
+    i1 = sampled[..., 0]
+    grad = sampled[..., 1:3]
     cJp = wp.correspondence_jacobian_pose(corresp, dpt, cam, pose_10)
     J = -jnp.einsum("nc,nck->nk", grad, cJp)  # [N, 6]
-    i1 = bilinear_sample(img1, corresp.pix1)
     r = img0.reshape(-1) - i1
     w = huber_weight(r, huber_delta)
     return _masked_system(J, r, w, corresp.valid)

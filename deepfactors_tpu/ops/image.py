@@ -67,6 +67,73 @@ def bilinear_sample_multi(imgs: Array, pix: Array) -> Array:
     return jnp.moveaxis(out, 0, -1)
 
 
+def bilinear_sample_packed(img_chans: Array, pix: Array) -> Array:
+    """Sample a channel-packed image [H, W, C] at pixels [..., 2] -> [..., C].
+
+    One gather per bilinear corner for ALL channels (4 total instead of 4*C) —
+    gathers break XLA fusion into separate kernels on TPU, so minimizing their
+    count is the main lever for the dense-warp ops.
+    """
+    H, W, C = img_chans.shape
+    x = pix[..., 0]
+    y = pix[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+
+    flat = img_chans.reshape(H * W, C)
+    take = lambda yy, xx: jnp.take(flat, yy * W + xx, axis=0)
+    v00 = take(y0i, x0i)
+    v01 = take(y0i, x1i)
+    v10 = take(y1i, x0i)
+    v11 = take(y1i, x1i)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def pack_bilinear_quad(img_chans: Array) -> Array:
+    """Precompute the 2x2 neighborhood pack: [H, W, C] -> [H, W, 4C] where
+    quad[y, x] = (p[y,x], p[y,x+1], p[y+1,x], p[y+1,x+1]) with edge clamping.
+
+    Trades 4x memory for a SINGLE gather per bilinear sample
+    (``bilinear_sample_quad``) — on TPU each gather is a separate unfused
+    kernel, so this quarters the fixed overhead of the dense-warp hot path.
+    Loop-invariant for GN iterations (hoisted by XLA inside jitted loops).
+    """
+    right = jnp.concatenate([img_chans[:, 1:], img_chans[:, -1:]], axis=1)
+    down = jnp.concatenate([img_chans[1:], img_chans[-1:]], axis=0)
+    down_right = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    return jnp.concatenate([img_chans, right, down, down_right], axis=-1)
+
+
+def bilinear_sample_quad(quad: Array, pix: Array) -> Array:
+    """Sample a quad-packed image [H, W, 4C] at pixels [..., 2] -> [..., C]
+    with one gather (see ``pack_bilinear_quad``)."""
+    H, W, C4 = quad.shape
+    C = C4 // 4
+    x = pix[..., 0]
+    y = pix[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+
+    flat = quad.reshape(H * W, C4)
+    v = jnp.take(flat, y0i * W + x0i, axis=0)  # [..., 4C]
+    v00, v01, v10, v11 = v[..., :C], v[..., C:2*C], v[..., 2*C:3*C], v[..., 3*C:]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
 # ----------------------------------------------------------------------------
 # Sobel gradients (cu_image_proc.cpp:57-112)
 # ----------------------------------------------------------------------------

@@ -72,7 +72,7 @@ def _make_track_fn(cfg: TrackerConfig, cam: PinholeCamera):
                 0, n_iters, body, (pose.q, pose.t, inliers, error)
             )
             pose = SE3(q, t)
-        return pose.q, pose.t, inliers, error
+        return pose.q, pose.t, jnp.stack([inliers, error])
 
     return jax.jit(track)
 
@@ -105,17 +105,22 @@ class CameraTracker:
     def set_pose(self, pose_wc: SE3):
         self.pose_ck = se3m.mul(se3m.inverse(pose_wc), self.kf_pose_wk)
 
-    def track_frame(self, img_pyr, grad_pyr) -> TrackResult:
+    def track_frame(self, img_pyr, grad_pyr, sync_stats: bool = True) -> TrackResult:
+        """One dense track. With sync_stats=False the scalar stats stay on
+        device (no D2H sync — use when pipelining; read .stats later)."""
         if self.kf_imgs is None:
             raise RuntimeError("TrackFrame called before a keyframe was set")
-        q, t, inl, err = self._track(
+        q, t, stats = self._track(
             self.pose_ck.q, self.pose_ck.t,
             self.kf_imgs, self.kf_dpts, tuple(img_pyr), tuple(grad_pyr),
         )
         self.pose_ck = SE3(q, t)
-        self.inliers = float(inl)
-        self.error = float(err)
-        return TrackResult(self.pose_ck, inl, err)
+        self.stats = stats
+        if sync_stats:
+            inl, err = jax.device_get(stats)
+            self.inliers = float(inl)
+            self.error = float(err)
+        return TrackResult(self.pose_ck, stats[0], stats[1])
 
     def get_pose_estimate(self) -> SE3:
         return se3m.mul(self.kf_pose_wk, se3m.inverse(self.pose_ck))
