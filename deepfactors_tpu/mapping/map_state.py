@@ -47,9 +47,16 @@ class MapState(NamedTuple):
     link_dst: Array     # [Lmax] int32 slot index
     link_active: Array  # [Lmax] bool
     next_id: Array      # [] int32
+    # sparse features (Frame::features, frame.h:104) — fixed capacity per kf
+    kp_xy: Array       # [K, Kp, 2]
+    kp_desc: Array     # [K, Kp, 8] uint32
+    kp_valid: Array    # [K, Kp] bool
+    # level-0 depth gradient for the geometric factor (keyframe.h dpt_grad)
+    dpt_grad: Array    # [K, H, W, 2]
 
 
-def create(K: int, CS: int, H: int, W: int, num_levels: int, max_links: int) -> MapState:
+def create(K: int, CS: int, H: int, W: int, num_levels: int, max_links: int,
+           max_keypoints: int = 0) -> MapState:
     levels = []
     for l in range(num_levels):
         h, w = H >> l, W >> l
@@ -74,6 +81,10 @@ def create(K: int, CS: int, H: int, W: int, num_levels: int, max_links: int) -> 
         link_dst=jnp.zeros((max_links,), jnp.int32),
         link_active=jnp.zeros((max_links,), bool),
         next_id=jnp.asarray(0, jnp.int32),
+        kp_xy=jnp.zeros((K, max_keypoints, 2), jnp.float32),
+        kp_desc=jnp.zeros((K, max_keypoints, 8), jnp.uint32),
+        kp_valid=jnp.zeros((K, max_keypoints), bool),
+        dpt_grad=jnp.zeros((K, H, W, 2), jnp.float32),
     )
 
 
@@ -92,13 +103,18 @@ def add_keyframe(
     jac_pyr: Sequence[Array],
     stdev_pyr: Sequence[Array],
     avg_dpt: float,
+    features=None,
 ) -> MapState:
     """Write a decoded keyframe into slot (Mapper::BuildKeyframe equivalent,
     mapper.cpp:919-1007 — pyramids come from the decoder + image ops; depth is
-    materialized immediately like the UpdateDepth calls at mapper.cpp:984-991)."""
+    materialized immediately like the UpdateDepth calls at mapper.cpp:984-991,
+    and the depth gradient for the geometric factor like mapper.cpp dpt-grad)."""
     new_levels = []
+    dpt0_fine = None
     for l, lvl in enumerate(state.levels):
         dpt = ip.update_depth(code, prx0_pyr[l], jac_pyr[l], avg_dpt)
+        if l == 0:
+            dpt0_fine = dpt
         new_levels.append(
             LevelData(
                 img=lvl.img.at[slot].set(img_pyr[l]),
@@ -109,6 +125,15 @@ def add_keyframe(
                 dpt=lvl.dpt.at[slot].set(dpt),
                 vld=lvl.vld.at[slot].set(jnp.ones_like(dpt)),
             )
+        )
+    state = state._replace(
+        dpt_grad=state.dpt_grad.at[slot].set(ip.sobel_gradients(dpt0_fine))
+    )
+    if features is not None:
+        state = state._replace(
+            kp_xy=state.kp_xy.at[slot].set(features.xy),
+            kp_desc=state.kp_desc.at[slot].set(features.descriptor),
+            kp_valid=state.kp_valid.at[slot].set(features.valid),
         )
     return state._replace(
         active=state.active.at[slot].set(True),

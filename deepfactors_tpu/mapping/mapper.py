@@ -62,6 +62,24 @@ class MapperConfig(NamedTuple):
     max_back_connections: int = 4
     lm_lambda: float = 1e-4        # GN damping (ISAM2 uses pure GN)
     use_schur: bool = True
+    use_photometric: bool = True
+    # reprojection factors (deepfactors_options.h:91-101)
+    use_reprojection: bool = False
+    max_keypoints: int = 128       # detector capacity (rep_nfeatures)
+    max_rep_factors: int = 16
+    rep_max_dist: float = 30.0     # hamming threshold for match pruning
+    rep_huber: float = 0.1
+    rep_iters: int = 15
+    rep_sigma: float = 1.0
+    rep_ransac_maxiters: int = 128
+    rep_ransac_threshold: float = 1e-4
+    # sparse geometric factors (deepfactors_options.h:103-108)
+    use_geometric: bool = False
+    max_geo_factors: int = 16
+    geo_npoints: int = 128
+    geo_stochastic: bool = False
+    geo_huber: float = 0.1
+    geo_iters: int = 15
 
 
 # ----------------------------------------------------------------------------
@@ -79,6 +97,10 @@ class Work:
         self.remove = False
         self.remove_after = remove_after
         self.name = "work"
+        self.child: Optional["Work"] = None  # work.h:38-77 child chaining
+
+    def add_child(self, child: "Work"):
+        self.child = child
 
     def is_new_level_start(self) -> bool:
         return (
@@ -118,6 +140,36 @@ class PhotoWork(Work):
         self.name = f"photo {src}->{'f' if dst_is_frame else ''}{dst}"
 
 
+class RepWork(Work):
+    """OptimizeRep: one reprojection factor, single level (df_work.cpp:316-347).
+    Match data is computed once at construction like the reference ctor."""
+
+    def __init__(self, src: int, dst: int, kp0, kp1, mvalid, iters: int,
+                 remove_after: bool = False):
+        super().__init__([iters], remove_after)
+        self.src = src
+        self.dst = dst
+        self.kp0 = kp0          # [M, 2] np
+        self.kp1 = kp1          # [M, 2] np
+        self.mvalid = mvalid    # [M] np bool
+        self.pool_slot: Optional[int] = None
+        self.name = f"rep {src}->{dst}"
+
+
+class GeoWork(Work):
+    """OptimizeGeo: one sparse geometric factor, single level
+    (df_work.cpp:252-297)."""
+
+    def __init__(self, src: int, dst: int, points, iters: int,
+                 remove_after: bool = False):
+        super().__init__([iters], remove_after)
+        self.src = src
+        self.dst = dst
+        self.points = points    # [N, 2] np
+        self.pool_slot: Optional[int] = None
+        self.name = f"geo {src}->{dst}"
+
+
 class WorkManager:
     """Work list + bookkeeping (work_manager.cpp:25-143 semantics)."""
 
@@ -140,7 +192,13 @@ class WorkManager:
             w.signal_no_relinearize()
 
     def sweep_finished(self):
+        done = [w for w in self.work if w.finished()]
         self.work = [w for w in self.work if not w.finished()]
+        # promote children of finished works (work_manager.cpp child chain)
+        for w in done:
+            if w.child is not None:
+                self.work.append(w.child)
+                w.child = None
 
     def erase_involving(self, slot: int, is_frame: bool):
         """WorkManager::Erase — drop works touching a removed frame/keyframe."""
@@ -175,6 +233,44 @@ def _empty_pool(P: int) -> FactorPool:
         dst_is_frame=np.zeros(P, bool),
         level=np.zeros(P, np.int32),
         active=np.zeros(P, bool),
+    )
+
+
+class RepPool(NamedTuple):
+    """Reprojection factor pool (host-mirrored)."""
+
+    src: np.ndarray     # [P]
+    dst: np.ndarray     # [P]
+    active: np.ndarray  # [P]
+    kp0: np.ndarray     # [P, M, 2]
+    kp1: np.ndarray     # [P, M, 2]
+    mvalid: np.ndarray  # [P, M]
+
+
+def _empty_rep_pool(P: int, M: int) -> RepPool:
+    return RepPool(
+        src=np.zeros(P, np.int32), dst=np.zeros(P, np.int32),
+        active=np.zeros(P, bool),
+        kp0=np.zeros((P, M, 2), np.float32),
+        kp1=np.zeros((P, M, 2), np.float32),
+        mvalid=np.zeros((P, M), bool),
+    )
+
+
+class GeoPool(NamedTuple):
+    """Sparse geometric factor pool (host-mirrored)."""
+
+    src: np.ndarray     # [P]
+    dst: np.ndarray     # [P]
+    active: np.ndarray  # [P]
+    points: np.ndarray  # [P, N, 2]
+
+
+def _empty_geo_pool(P: int, N: int) -> GeoPool:
+    return GeoPool(
+        src=np.zeros(P, np.int32), dst=np.zeros(P, np.int32),
+        active=np.zeros(P, bool),
+        points=np.zeros((P, N, 2), np.float32),
     )
 
 
@@ -220,8 +316,66 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
             lvl.jac[src], flv.grad[dst],
         )
 
+    def rep_systems(state, rep):
+        """Batched reprojection factors at level 0
+        (reprojection_factor.cpp:159-269)."""
+        from ..ops import sparse_factors as sf
+
+        lvl0 = state.levels[0]
+        pose0 = ms.poses_of(state, rep["src"])
+        pose1 = ms.poses_of(state, rep["dst"])
+
+        def one(p0q, p0t, p1q, p1t, c0, kp0, kp1, mv, prx0, jac):
+            return sf.reprojection_system(
+                SE3(p0q, p0t), SE3(p1q, p1t), c0, cams[0], kp0, kp1, mv,
+                prx0, jac, huber_delta=cfg.rep_huber, sigma=cfg.rep_sigma,
+                avg_dpt=cfg.avg_dpt,
+            )
+
+        sys = jax.vmap(one)(
+            pose0.q, pose0.t, pose1.q, pose1.t, state.code[rep["src"]],
+            rep["kp0"], rep["kp1"], rep["mvalid"],
+            lvl0.prx0[rep["src"]], lvl0.jac[rep["src"]],
+        )
+        idx = sysm.factor_slot_indices(rep["src"], rep["dst"], K, CS)
+        return sys, idx
+
+    def geo_systems(state, geo):
+        """Batched geometric factors at level 0
+        (sparse_geometric_factor.cpp:146-268)."""
+        from ..ops import sparse_factors as sf
+
+        lvl0 = state.levels[0]
+        pose0 = ms.poses_of(state, geo["src"])
+        pose1 = ms.poses_of(state, geo["dst"])
+
+        def one(p0q, p0t, p1q, p1t, c0, c1, pts, prx0a, jaca, prx0b, jacb, dg):
+            return sf.geometric_system(
+                SE3(p0q, p0t), SE3(p1q, p1t), c0, c1, cams[0], pts,
+                prx0a, jaca, prx0b, jacb, dg,
+                huber_delta=cfg.geo_huber, avg_dpt=cfg.avg_dpt,
+            )
+
+        sys = jax.vmap(one)(
+            pose0.q, pose0.t, pose1.q, pose1.t,
+            state.code[geo["src"]], state.code[geo["dst"]], geo["points"],
+            lvl0.prx0[geo["src"]], lvl0.jac[geo["src"]],
+            lvl0.prx0[geo["dst"]], lvl0.jac[geo["dst"]],
+            state.dpt_grad[geo["dst"]],
+        )
+        # index layout [pose0 | pose1 | code0 | code1]
+        pose0_idx = geo["src"][:, None] * 6 + jnp.arange(6)
+        pose1_idx = geo["dst"][:, None] * 6 + jnp.arange(6)
+        code0_idx = Dp + geo["src"][:, None] * CS + jnp.arange(CS)
+        code1_idx = Dp + geo["dst"][:, None] * CS + jnp.arange(CS)
+        idx = jnp.concatenate(
+            [pose0_idx, pose1_idx, code0_idx, code1_idx], axis=-1
+        ).astype(jnp.int32)
+        return sys, idx
+
     def gn_iteration(
         state, frames_, pool_src, pool_dst, pool_isf, pool_level, pool_active,
+        rep, geo,
         kf_var_mask, frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
         levels_present,
     ):
@@ -256,6 +410,15 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         idx = jnp.concatenate(all_idx, axis=0)
         act = jnp.concatenate(all_act, axis=0)
         gsys = sysm.assemble(D, H, b, idx, act)
+
+        if cfg.use_reprojection:
+            rsys, ridx = rep_systems(state, rep)
+            rg = sysm.assemble(D, rsys.JtJ, rsys.Jtr, ridx, rep["active"])
+            gsys = sysm.GlobalSystem(gsys.H + rg.H, gsys.b + rg.b)
+        if cfg.use_geometric:
+            gsy, gidx = geo_systems(state, geo)
+            gg = sysm.assemble(D, gsy.JtJ, gsy.Jtr, gidx, geo["active"])
+            gsys = sysm.GlobalSystem(gsys.H + gg.H, gsys.b + gg.b)
 
         # priors (df_work.cpp:29-57): zero-code prior on every active code,
         # pose prior pinning the anchor at its bootstrap value
@@ -305,6 +468,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
     @functools.partial(jax.jit, static_argnames=("levels_present",))
     def run(
         state, frames_, pool_src, pool_dst, pool_isf, pool_level, pool_active,
+        rep, geo,
         kf_var_mask, frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
         n_iters, levels_present,
     ):
@@ -316,8 +480,8 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
             state, frames_, i, _ = carry
             state, frames_, max_delta = gn_iteration(
                 state, frames_, pool_src, pool_dst, pool_isf, pool_level,
-                pool_active, kf_var_mask, frame_var_mask, anchor_slot,
-                anchor_q, anchor_t, lam, levels_present,
+                pool_active, rep, geo, kf_var_mask, frame_var_mask,
+                anchor_slot, anchor_q, anchor_t, lam, levels_present,
             )
             return state, frames_, i + 1, max_delta
 
@@ -344,12 +508,16 @@ class Mapper:
         self.state = ms.create(
             cfg.max_keyframes, cfg.code_size, cfg.height, cfg.width,
             cfg.pyramid_levels, max_links=4 * cfg.max_factors,
+            max_keypoints=cfg.max_keypoints if cfg.use_reprojection else 0,
         )
         self.frames = fr.create(cfg.max_frames, cfg.height, cfg.width,
                                 cfg.pyramid_levels)
         self.pool = _empty_pool(cfg.max_factors)
+        self.rep_pool = _empty_rep_pool(cfg.max_rep_factors, cfg.max_keypoints)
+        self.geo_pool = _empty_geo_pool(cfg.max_geo_factors, cfg.geo_npoints)
         self.work = WorkManager()
         self._run_fn = _make_run_fn(cfg, cam)
+        self._rng_key = jax.random.PRNGKey(42)
         # host-side bookkeeping
         self.kf_slots: list[int] = []      # insertion order of live slots
         self.frame_slots: list[int] = []
@@ -382,6 +550,22 @@ class Mapper:
                 return i
         raise RuntimeError("factor pool exhausted — raise max_factors")
 
+    def _alloc_rep_slot(self) -> int:
+        for i in range(self.cfg.max_rep_factors):
+            if not self.rep_pool.active[i]:
+                return i
+        raise RuntimeError("rep factor pool exhausted — raise max_rep_factors")
+
+    def _alloc_geo_slot(self) -> int:
+        for i in range(self.cfg.max_geo_factors):
+            if not self.geo_pool.active[i]:
+                return i
+        raise RuntimeError("geo factor pool exhausted — raise max_geo_factors")
+
+    def _next_key(self):
+        self._rng_key, k = jax.random.split(self._rng_key)
+        return k
+
     # -- keyframe / frame construction --------------------------------------
 
     def build_keyframe_data(self, img: Array, code: Optional[Array] = None):
@@ -407,17 +591,25 @@ class Mapper:
             stdev = tuple(jnp.zeros_like(im) for im in img_pyr)
             if code is None:
                 code = jnp.zeros((CS,), jnp.float32)
-        return img_pyr, grad_pyr, prx0, jac, stdev, code
+        features = None
+        if self.cfg.use_reprojection:
+            from ..features import detector as det
+
+            features = det.detect(
+                img_pyr[0],
+                det.DetectorConfig(max_keypoints=self.cfg.max_keypoints),
+            )
+        return img_pyr, grad_pyr, prx0, jac, stdev, code, features
 
     def add_keyframe_to_map(self, img, pose: SE3, code=None,
                             pyramids=None) -> int:
         if pyramids is None:
             pyramids = self.build_keyframe_data(img, code)
-        img_pyr, grad_pyr, prx0, jac, stdev, code = pyramids
+        img_pyr, grad_pyr, prx0, jac, stdev, code, features = pyramids
         slot = self._alloc_kf_slot()
         self.state = ms.add_keyframe(
             self.state, slot, pose, code, img_pyr, grad_pyr, prx0, jac,
-            stdev, self.cfg.avg_dpt,
+            stdev, self.cfg.avg_dpt, features=features,
         )
         self.kf_slots.append(slot)
         self.kf_ids[len(self.kf_ids)] = slot
@@ -448,12 +640,65 @@ class Mapper:
         return s
 
     def enqueue_keyframe(self, img, pose_init: SE3, code=None) -> int:
+        """EnqueueKeyframe (mapper.cpp:282-344): photometric both ways, plus
+        reprojection both ways and geometric-as-child when enabled."""
         conns = self._back_connections()
         slot = self.add_keyframe_to_map(img, pose_init, code)
         self.marginalize_frames()
         for back in conns:
-            self._add_photo_pair(slot, back, second_removes=True)
+            last_photo = None
+            if self.cfg.use_photometric:
+                last_photo = self._add_photo_pair(slot, back,
+                                                  second_removes=True)
+            if self.cfg.use_reprojection:
+                self._add_rep_pair(slot, back)
+            if self.cfg.use_geometric:
+                geo = GeoWork(
+                    slot, back,
+                    np.asarray(jax.device_get(self._sample_geo_points())),
+                    self.cfg.geo_iters,
+                )
+                if last_photo is not None:
+                    last_photo.add_child(geo)
+                else:
+                    self.work.add(geo)
         return slot
+
+    def _sample_geo_points(self):
+        from ..features.sampler import sample_uniform_pixels
+
+        return sample_uniform_pixels(
+            self._next_key(), self.cfg.geo_npoints, self.cfg.width,
+            self.cfg.height,
+        )
+
+    def _add_rep_pair(self, s0: int, s1: int):
+        """Both-way reprojection works with matching + RANSAC pruning at
+        construction (reprojection_factor.cpp:54-69)."""
+        from ..features import matching as mt
+
+        for a, b in ((s0, s1), (s1, s0)):
+            desc0 = self.state.kp_desc[a]
+            desc1 = self.state.kp_desc[b]
+            v0 = self.state.kp_valid[a]
+            v1 = self.state.kp_valid[b]
+            m = mt.match(desc0, v0, desc1, v1,
+                         max_dist=int(self.cfg.rep_max_dist))
+            kp0 = self.state.kp_xy[a]
+            kp1 = self.state.kp_xy[b][m.idx1]
+            inl = mt.prune_matches_eight_point(
+                kp0, kp1, m.valid, self.cam, self._next_key(),
+                threshold=self.cfg.rep_ransac_threshold,
+                max_iterations=self.cfg.rep_ransac_maxiters,
+            )
+            mvalid = np.asarray(jax.device_get(m.valid & inl))
+            # empty-match guard (df_work.cpp:316-347)
+            if mvalid.sum() < 8:
+                continue
+            self.work.add(RepWork(
+                a, b, np.asarray(jax.device_get(kp0)),
+                np.asarray(jax.device_get(kp1)), mvalid, self.cfg.rep_iters,
+            ))
 
     def enqueue_frame(self, img, pose_init: SE3, kf_slot: int):
         """EnqueueFrame (mapper.cpp:247-267): one-way frame as photometric
@@ -469,11 +714,21 @@ class Mapper:
         self.work.add(w)
         return fslot
 
-    def enqueue_link(self, slot0: int, slot1: int, photo=True):
-        """EnqueueLink (mapper.cpp:347-392) — loop-closure factors."""
+    def enqueue_link(self, slot0: int, slot1: int, photo=True, rep=False,
+                     geo=False):
+        """EnqueueLink (mapper.cpp:347-392) — loop-closure factors (photo for
+        local loops, rep for global loops, deepfactors.cpp:248-280)."""
         self.marginalize_frames()
         if photo:
             self._add_photo_pair(slot0, slot1, second_removes=True)
+        if rep and self.cfg.use_reprojection:
+            self._add_rep_pair(slot0, slot1)
+        if geo and self.cfg.use_geometric:
+            self.work.add(GeoWork(
+                slot0, slot1,
+                np.asarray(jax.device_get(self._sample_geo_points())),
+                self.cfg.geo_iters,
+            ))
 
     def _add_photo_pair(self, s0: int, s1: int, second_removes: bool = False):
         """Both-way photometric works (mapper.cpp:305-311). The second
@@ -489,12 +744,13 @@ class Mapper:
                         and w.src == a and w.dst == b):
                     self.work.work.remove(w)
         self.work.add(PhotoWork(s0, s1, False, self.cfg.pho_iters))
-        self.work.add(
+        second = self.work.add(
             PhotoWork(s1, s0, False, self.cfg.pho_iters,
                       remove_after=second_removes)
         )
         self.state = ms.add_link(self.state, self.n_links, s0, s1)
         self.n_links += 1
+        return second
 
     def _back_connections(self) -> list[int]:
         """BuildBackConnections (mapper.cpp:1011-1037) over live slots."""
@@ -538,24 +794,63 @@ class Mapper:
         """Work::Bookkeeping semantics (df_work.cpp:117-136): on removal or
         new-level-start, swap the work's pool factor for one at the new level."""
         for w in self.work.work:
-            if not isinstance(w, PhotoWork):
-                continue
-            if w.remove:
-                if w.pool_slot is not None:
-                    self.pool.active[w.pool_slot] = False
-                    w.pool_slot = None
-                w.active_level = -2
-                continue
-            if w.first or (w.active_level >= 0 and w.is_new_level_start()):
-                w.first = False
-                if w.pool_slot is None:
-                    w.pool_slot = self._alloc_pool_slot()
-                i = w.pool_slot
-                self.pool.src[i] = w.src
-                self.pool.dst[i] = w.dst
-                self.pool.dst_is_frame[i] = w.dst_is_frame
-                self.pool.level[i] = max(w.active_level, 0)
-                self.pool.active[i] = True
+            if isinstance(w, PhotoWork):
+                if w.remove:
+                    if w.pool_slot is not None:
+                        self.pool.active[w.pool_slot] = False
+                        w.pool_slot = None
+                    w.active_level = -2
+                    continue
+                if w.first or (w.active_level >= 0 and w.is_new_level_start()):
+                    w.first = False
+                    if w.pool_slot is None:
+                        w.pool_slot = self._alloc_pool_slot()
+                    i = w.pool_slot
+                    self.pool.src[i] = w.src
+                    self.pool.dst[i] = w.dst
+                    self.pool.dst_is_frame[i] = w.dst_is_frame
+                    self.pool.level[i] = max(w.active_level, 0)
+                    self.pool.active[i] = True
+            elif isinstance(w, RepWork):
+                if w.remove:
+                    if w.pool_slot is not None:
+                        self.rep_pool.active[w.pool_slot] = False
+                        w.pool_slot = None
+                    w.active_level = -2
+                    continue
+                if w.first:
+                    w.first = False
+                    w.pool_slot = self._alloc_rep_slot()
+                    i = w.pool_slot
+                    self.rep_pool.src[i] = w.src
+                    self.rep_pool.dst[i] = w.dst
+                    M = w.kp0.shape[0]
+                    self.rep_pool.kp0[i, :M] = w.kp0
+                    self.rep_pool.kp1[i, :M] = w.kp1
+                    self.rep_pool.mvalid[i] = False
+                    self.rep_pool.mvalid[i, :M] = w.mvalid
+                    self.rep_pool.active[i] = True
+            elif isinstance(w, GeoWork):
+                if w.remove:
+                    if w.pool_slot is not None:
+                        self.geo_pool.active[w.pool_slot] = False
+                        w.pool_slot = None
+                    w.active_level = -2
+                    continue
+                if w.first:
+                    w.first = False
+                    w.pool_slot = self._alloc_geo_slot()
+                    i = w.pool_slot
+                    self.geo_pool.src[i] = w.src
+                    self.geo_pool.dst[i] = w.dst
+                    self.geo_pool.points[i] = w.points
+                    self.geo_pool.active[i] = True
+                elif self.cfg.geo_stochastic and w.pool_slot is not None:
+                    # stochastic resampling per relinearization
+                    # (sparse_geometric_factor.cpp:153-157)
+                    self.geo_pool.points[w.pool_slot] = np.asarray(
+                        jax.device_get(self._sample_geo_points())
+                    )
 
     def mapping_step(self):
         """One mapping *phase*: runs GN iterations on-device until the next
@@ -572,7 +867,7 @@ class Mapper:
         budgets = [
             w.iters[w.active_level] + 1
             for w in self.work.work
-            if isinstance(w, PhotoWork) and w.active_level >= 0
+            if w.active_level >= 0
         ]
         if budgets:
             budget = max(1, min(budgets))
@@ -580,6 +875,9 @@ class Mapper:
         levels_present = tuple(
             sorted({int(l) for l, a in zip(self.pool.level, self.pool.active) if a})
         )
+        if not levels_present and (self.rep_pool.active.any()
+                                   or self.geo_pool.active.any()):
+            levels_present = (0,)
         if not levels_present:
             # nothing to optimize; still tick the schedule once
             self.work.update()
@@ -590,11 +888,14 @@ class Mapper:
         fr_mask = jnp.ones((self.cfg.max_frames,), bool)
         anchor = self.kf_slots[0] if self.kf_slots else 0
 
+        rep = {k: jnp.asarray(v) for k, v in self.rep_pool._asdict().items()}
+        geo = {k: jnp.asarray(v) for k, v in self.geo_pool._asdict().items()}
         self.state, self.frames, stats = self._run_fn(
             self.state, self.frames,
             jnp.asarray(self.pool.src), jnp.asarray(self.pool.dst),
             jnp.asarray(self.pool.dst_is_frame), jnp.asarray(self.pool.level),
             jnp.asarray(self.pool.active),
+            rep, geo,
             kf_mask, fr_mask,
             jnp.asarray(anchor, jnp.int32),
             self._anchor_pose.q, self._anchor_pose.t,
@@ -624,10 +925,13 @@ class Mapper:
         self.state = ms.create(
             cfg.max_keyframes, cfg.code_size, cfg.height, cfg.width,
             cfg.pyramid_levels, max_links=4 * cfg.max_factors,
+            max_keypoints=cfg.max_keypoints if cfg.use_reprojection else 0,
         )
         self.frames = fr.create(cfg.max_frames, cfg.height, cfg.width,
                                 cfg.pyramid_levels)
         self.pool = _empty_pool(cfg.max_factors)
+        self.rep_pool = _empty_rep_pool(cfg.max_rep_factors, cfg.max_keypoints)
+        self.geo_pool = _empty_geo_pool(cfg.max_geo_factors, cfg.geo_npoints)
         self.work = WorkManager()
         self.kf_slots = []
         self.frame_slots = []
