@@ -1,0 +1,452 @@
+"""The DeepFactors system facade: per-frame SLAM pipeline.
+
+TPU-native reimplementation of sources/core/deepfactors.{h,cpp}: preprocess,
+track (or relocalize), tracking-lost check, local/global loop closure,
+keyframe/frame policies, and mapping steps — orchestrated on the host with
+every compute stage a jitted device dispatch.
+
+Pipeline per frame (ProcessFrame, deepfactors.cpp:220-366):
+  preprocess -> track/relocalize -> CheckTrackingLost -> loop closure
+  -> NewKeyframeRequired? EnqueueKeyframe : NewFrameRequired? EnqueueFrame
+  -> mapping until no work (or one step if interleave_mapping)
+"""
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .geometry import se3 as se3m
+from .geometry.se3 import SE3
+from .geometry.camera import PinholeCamera
+from .ops import image as ip
+from .mapping.mapper import Mapper, MapperConfig
+from .tracking.tracker import CameraTracker, TrackerConfig
+from .loop.loop_detector import LoopDetector, LoopConfig
+from .utils.timing import tic, toc
+from .utils import tum_io
+
+Array = jax.Array
+
+
+class SystemConfig(NamedTuple):
+    """DeepFactorsOptions equivalent (deepfactors_options.h:28-116)."""
+
+    mapper: MapperConfig = MapperConfig()
+    # camera tracking (deepfactors_options.h:42-47)
+    tracking_iterations: tuple = (10, 5, 4)
+    tracking_mode: str = "CLOSEST"        # CLOSEST | LAST | FIRST
+    tracking_huber_delta: float = 0.3
+    tracking_error_threshold: float = 0.3
+    tracking_dist_threshold: float = 2.0
+    # keyframe adding (deepfactors_options.h:57-62)
+    keyframe_mode: str = "AUTO"           # AUTO | AUTO_COMBINED | NEVER
+    inlier_threshold: float = 0.5
+    dist_threshold: float = 2.0
+    frame_dist_threshold: float = 0.2
+    combined_threshold: float = 2.0
+    # loop closure (deepfactors_options.h:64-70)
+    loop_closure: bool = True
+    loop_max_dist: float = 0.5
+    loop_active_window: int = 10
+    loop_sigma: float = 1.0
+    loop_min_similarity: float = 0.35
+    loop_max_candidates: int = 10
+    # mapping
+    interleave_mapping: bool = False
+    predict_code: bool = True
+
+
+class Stats(NamedTuple):
+    inliers: float
+    tracker_error: float
+    distance: float
+
+
+class DeepFactors:
+    """System facade (deepfactors.h:53-188)."""
+
+    def __init__(self, cfg: SystemConfig, cam: PinholeCamera, decoder=None,
+                 vocabulary=None):
+        self.cfg = cfg
+        self.cam = cam
+        m = cfg.mapper
+        self.mapper = Mapper(m, cam, decoder=decoder)
+        self.tracker = CameraTracker(
+            TrackerConfig(
+                pyramid_levels=m.pyramid_levels,
+                iterations_per_level=cfg.tracking_iterations[:m.pyramid_levels],
+                huber_delta=cfg.tracking_huber_delta,
+            ),
+            cam,
+        )
+        self.loop_detector = LoopDetector(
+            LoopConfig(
+                max_dist=cfg.loop_max_dist,
+                active_window=cfg.loop_active_window,
+                min_similarity=cfg.loop_min_similarity,
+                max_candidates=cfg.loop_max_candidates,
+                iters_per_level=cfg.tracking_iterations[:m.pyramid_levels],
+                huber_delta=cfg.tracking_huber_delta,
+            ),
+            cam, m.pyramid_levels, m.max_keyframes, voc=vocabulary,
+        ) if cfg.loop_closure else None
+
+        self.bootstrapped = False
+        self.tracking_lost = False
+        self.force_keyframe_flag = False
+        self.force_frame_flag = False
+        self.curr_kf: Optional[int] = None
+        self.pose_wc: SE3 = se3m.identity()
+        self.stats = Stats(0.0, float("inf"), 0.0)
+        self.trajectory: list = []   # (timestamp, SE3 pose_wc)
+        self.loop_links: list = []
+        # callbacks (deepfactors.h:114-116)
+        self.pose_callback = None
+        self.map_callback = None
+        self.stats_callback = None
+
+    # ------------------------------------------------------------------
+    # bootstrap (deepfactors.cpp:370-443)
+    # ------------------------------------------------------------------
+
+    def bootstrap_two_frames(self, img0, img1):
+        tic("bootstrap")
+        s0, s1 = self.mapper.init_two_frames(img0, img1)
+        self.mapper.update_map()
+        self._set_tracker_keyframe(s1)
+        self.curr_kf = s1
+        self.pose_wc = se3m.index(self.mapper.state.pose, s1)
+        if self.loop_detector is not None:
+            for s in (s0, s1):
+                self._loop_add_keyframe(s)
+        self.bootstrapped = True
+        self.tracking_lost = False
+        toc("bootstrap")
+
+    def bootstrap_one_frame(self, img):
+        s = self.mapper.init_one_frame(img)
+        self.mapper.update_map()
+        self._set_tracker_keyframe(s)
+        self.curr_kf = s
+        self.pose_wc = se3m.identity()
+        if self.loop_detector is not None:
+            self._loop_add_keyframe(s)
+        self.bootstrapped = True
+        self.tracking_lost = False
+
+    # ------------------------------------------------------------------
+    # per-frame pipeline (deepfactors.cpp:220-366)
+    # ------------------------------------------------------------------
+
+    def process_frame(self, timestamp: float, img) -> None:
+        if not self.bootstrapped:
+            raise RuntimeError(
+                "Calling ProcessFrame before system is bootstrapped!"
+            )
+        tic("preprocess")
+        img = self.preprocess_image(img)
+        L = self.cfg.mapper.pyramid_levels
+        img_pyr = ip.build_pyramid(jnp.asarray(img), L)
+        grad_pyr = ip.build_gradient_pyramid(img_pyr)
+        toc("preprocess")
+
+        tic("track")
+        if self.tracking_lost:
+            new_pose_wc = self._relocalize(img_pyr, grad_pyr)
+        else:
+            new_pose_wc = self._track(img_pyr, grad_pyr)
+        toc("track")
+
+        self.tracking_lost = self._check_tracking_lost(new_pose_wc)
+        if self.tracking_lost:
+            return
+
+        self.pose_wc = new_pose_wc
+        self.trajectory.append((timestamp, new_pose_wc))
+        if self.pose_callback:
+            self.pose_callback(new_pose_wc)
+
+        if self.loop_detector is not None:
+            self._loop_closure(img_pyr, grad_pyr)
+
+        if self._new_keyframe_required():
+            tic("enqueue keyframe")
+            slot = self.mapper.enqueue_keyframe(np.asarray(img), self.pose_wc)
+            self._set_tracker_keyframe(slot)
+            self.curr_kf = slot
+            if self.loop_detector is not None:
+                self._loop_add_keyframe(slot)
+            if self.map_callback:
+                self.map_callback(self.mapper.state)
+            toc("enqueue keyframe")
+            return  # kf construction took long enough (deepfactors.cpp:297)
+
+        if self._new_frame_required():
+            self.mapper.enqueue_frame(np.asarray(img), self.pose_wc,
+                                      self.curr_kf)
+
+        self.stats = Stats(
+            inliers=self.tracker.inliers,
+            tracker_error=self.tracker.error,
+            distance=float(se3m.pose_distance(
+                se3m.index(self.mapper.state.pose, self.curr_kf), self.pose_wc
+            )),
+        )
+        if self.stats_callback:
+            self.stats_callback(self.stats)
+
+        tic("mapping")
+        while True:
+            self.mapper.mapping_step()
+            if not self.mapper.has_work() or self.cfg.interleave_mapping:
+                break
+        self.mapper.update_map()
+        self._refresh_tracker_keyframe()
+        toc("mapping")
+
+    def preprocess_image(self, img) -> np.ndarray:
+        """PreprocessImage (deepfactors.cpp:634-680): grayscale float [0,1]
+        resized to the network resolution. Undistortion/remap to trained
+        intrinsics happens in the dataset drivers (io/)."""
+        img = np.asarray(img)
+        if img.ndim == 3:
+            img = img @ np.asarray([0.114, 0.587, 0.299], img.dtype)  # BGR
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        H, W = self.cfg.mapper.height, self.cfg.mapper.width
+        if img.shape != (H, W):
+            import cv2
+
+            img = cv2.resize(img.astype(np.float32), (W, H),
+                             interpolation=cv2.INTER_LINEAR)
+        return img.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # tracking / relocalization (deepfactors.cpp:685-743)
+    # ------------------------------------------------------------------
+
+    def _set_tracker_keyframe(self, slot: int):
+        L = self.cfg.mapper.pyramid_levels
+        st = self.mapper.state
+        self.tracker.set_keyframe(
+            [st.levels[l].img[slot] for l in range(L)],
+            [st.levels[l].dpt[slot] for l in range(L)],
+            se3m.index(st.pose, slot),
+        )
+        self._tracker_kf_slot = slot
+
+    def _refresh_tracker_keyframe(self):
+        """After mapping, the keyframe's pose/depth moved — refresh the
+        tracker's copy (reference UpdateMap writeback does this implicitly
+        through shared GPU buffers)."""
+        if self.curr_kf is not None:
+            pose_wc = self.tracker.get_pose_estimate()
+            self._set_tracker_keyframe(self.curr_kf)
+            self.tracker.set_pose(pose_wc)
+
+    def _select_keyframe(self) -> int:
+        """SelectKeyframe (deepfactors.cpp:813-848)."""
+        mode = self.cfg.tracking_mode
+        slots = self.mapper.kf_slots
+        if mode == "LAST":
+            return slots[-1]
+        if mode == "FIRST":
+            return slots[0]
+        # CLOSEST
+        st = self.mapper.state
+        d = np.asarray(jax.device_get(
+            se3m.pose_distance(st.pose, self.pose_wc)
+        ))
+        act = np.asarray(jax.device_get(st.active))
+        best, bd = slots[-1], np.inf
+        for s in slots:
+            if act[s] and d[s] < bd:
+                best, bd = s, d[s]
+        return best
+
+    def _track(self, img_pyr, grad_pyr) -> SE3:
+        newkf = self._select_keyframe()
+        if newkf != self.curr_kf:
+            self._set_tracker_keyframe(newkf)
+            self.curr_kf = newkf
+        self.tracker.track_frame(img_pyr, grad_pyr)
+        return self.tracker.get_pose_estimate()
+
+    def _relocalize(self, img_pyr, grad_pyr) -> SE3:
+        """Relocalize (deepfactors.cpp:713-743): brute-force dense tracking
+        against every keyframe, keep the best error."""
+        best_err, best_slot, best_pose = np.inf, None, None
+        for s in self.mapper.kf_slots:
+            self._set_tracker_keyframe(s)
+            self.tracker.reset()
+            self.tracker.track_frame(img_pyr, grad_pyr)
+            if self.tracker.error < best_err:
+                best_err = self.tracker.error
+                best_slot = s
+                best_pose = self.tracker.get_pose_estimate()
+        self.curr_kf = best_slot
+        self._set_tracker_keyframe(best_slot)
+        self.tracker.set_pose(best_pose)
+        return best_pose
+
+    def _check_tracking_lost(self, pose_wc: SE3) -> bool:
+        """CheckTrackingLost (deepfactors.cpp:852-879)."""
+        error_too_big = self.tracker.error > self.cfg.tracking_error_threshold
+        pose_wk = se3m.index(self.mapper.state.pose, self.curr_kf)
+        distance = float(se3m.pose_distance(pose_wk, pose_wc))
+        kf_too_far = distance > self.cfg.tracking_dist_threshold
+        return error_too_big or kf_too_far
+
+    # ------------------------------------------------------------------
+    # keyframe / frame policies (deepfactors.cpp:747-809)
+    # ------------------------------------------------------------------
+
+    def _new_keyframe_required(self) -> bool:
+        if self.force_keyframe_flag:
+            self.force_keyframe_flag = False
+            return True
+        mode = self.cfg.keyframe_mode
+        if mode == "NEVER":
+            return False
+        inliers = self.tracker.inliers
+        pose_wk = se3m.index(self.mapper.state.pose, self.curr_kf)
+        distance = float(se3m.pose_distance(pose_wk, self.pose_wc))
+        if mode == "AUTO":
+            return (inliers < self.cfg.inlier_threshold
+                    or distance > self.cfg.dist_threshold)
+        # AUTO_COMBINED
+        rel_q = se3m.quat_mul(pose_wk.q, se3m.quat_conj(self.pose_wc.q))
+        rot_dist = float(jnp.linalg.norm(se3m.so3_log(rel_q)))
+        delta = distance * 5 + rot_dist * 3
+        return delta > self.cfg.combined_threshold or \
+            inliers < self.cfg.inlier_threshold
+
+    def _new_frame_required(self) -> bool:
+        if self.force_frame_flag:
+            self.force_frame_flag = False
+            return True
+        if self.cfg.keyframe_mode == "NEVER":
+            return False
+        pose_wk = se3m.index(self.mapper.state.pose, self.curr_kf)
+        kf_dist = float(se3m.pose_distance(pose_wk, self.pose_wc, 1.0, 0.0))
+        far_from_kf = kf_dist > self.cfg.frame_dist_threshold
+        far_from_frames = True
+        fs = self.mapper.frames
+        act = np.asarray(jax.device_get(fs.active & ~fs.marginalized))
+        for i in range(len(act)):
+            if act[i]:
+                fp = SE3(fs.pose.q[i], fs.pose.t[i])
+                if float(se3m.pose_distance(fp, self.pose_wc, 1.0, 0.0)) < \
+                        self.cfg.frame_dist_threshold:
+                    far_from_frames = False
+        return far_from_kf and far_from_frames and not self.mapper.has_work()
+
+    # ------------------------------------------------------------------
+    # loop closure (deepfactors.cpp:246-280)
+    # ------------------------------------------------------------------
+
+    def _loop_add_keyframe(self, slot: int):
+        st = self.mapper.state
+        if st.kp_desc.shape[1] > 0:
+            self.loop_detector.add_keyframe(
+                slot, st.kp_desc[slot], st.kp_valid[slot]
+            )
+        else:
+            from .features import detector as det
+
+            f = det.detect(st.levels[0].img[slot],
+                           det.DetectorConfig(max_keypoints=128))
+            self.loop_detector.add_keyframe(slot, f.descriptor, f.valid)
+
+    def _loop_closure(self, img_pyr, grad_pyr):
+        st = self.mapper.state
+        act = np.asarray(jax.device_get(st.active))
+        # local loop: photometric link (deepfactors.cpp:248-261)
+        local = self.loop_detector.detect_local_loop(
+            self.pose_wc, st.pose, act, self.mapper.kf_slots, self.curr_kf
+        )
+        if local >= 0 and not self._link_exists(self.curr_kf, local):
+            self.mapper.enqueue_link(self.curr_kf, local, photo=True)
+            self.loop_links.append((self.curr_kf, local))
+        # global loop: reprojection link (deepfactors.cpp:263-280)
+        from .features import detector as det
+
+        f = det.detect(img_pyr[0],
+                       det.DetectorConfig(
+                           max_keypoints=max(self.cfg.mapper.max_keypoints, 64)
+                       ))
+        res = self.loop_detector.detect_loop(
+            f.descriptor, f.valid, img_pyr, grad_pyr, self.pose_wc, st,
+            self.mapper.kf_slots,
+        )
+        if res.detected and not self._link_exists(self.curr_kf, res.slot):
+            self.mapper.enqueue_link(self.curr_kf, res.slot, photo=False,
+                                     rep=True)
+            self.loop_links.append((self.curr_kf, res.slot))
+
+    def _link_exists(self, a: int, b: int) -> bool:
+        src = np.asarray(jax.device_get(self.mapper.state.link_src))
+        dst = np.asarray(jax.device_get(self.mapper.state.link_dst))
+        lact = np.asarray(jax.device_get(self.mapper.state.link_active))
+        for i in range(len(src)):
+            if lact[i] and ((src[i] == a and dst[i] == b)
+                            or (src[i] == b and dst[i] == a)):
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    # control / results (deepfactors.cpp:446-594)
+    # ------------------------------------------------------------------
+
+    def force_keyframe(self):
+        self.force_keyframe_flag = True
+
+    def force_frame(self):
+        self.force_frame_flag = True
+
+    def reset(self):
+        self.mapper.reset()
+        self.tracker.reset()
+        self.bootstrapped = False
+        self.tracking_lost = False
+        self.curr_kf = None
+        self.pose_wc = se3m.identity()
+        self.trajectory = []
+        self.loop_links = []
+
+    def save_results(self, dir_path: str):
+        """SaveResults (deepfactors.cpp:574-594): TUM trajectory + per-kf
+        depth/image/intrinsics."""
+        os.makedirs(dir_path, exist_ok=True)
+        tum_io.save_trajectory(
+            os.path.join(dir_path, "trajectory.txt"), self.trajectory
+        )
+        self.save_keyframes(dir_path)
+
+    def save_keyframes(self, dir_path: str):
+        """SaveKeyframes (deepfactors.cpp:541-570): per-kf image + depth
+        (x5000 uint16 png) + intrinsics.txt."""
+        import cv2
+
+        os.makedirs(dir_path, exist_ok=True)
+        st = self.mapper.state
+        act = np.asarray(jax.device_get(st.active))
+        for s in self.mapper.kf_slots:
+            if not act[s]:
+                continue
+            img = np.asarray(jax.device_get(st.levels[0].img[s]))
+            dpt = np.asarray(jax.device_get(st.levels[0].dpt[s]))
+            kid = int(jax.device_get(st.ids[s]))
+            cv2.imwrite(os.path.join(dir_path, f"kf_{kid}_img.png"),
+                        (img * 255).astype(np.uint8))
+            cv2.imwrite(os.path.join(dir_path, f"kf_{kid}_dpt.png"),
+                        (dpt * 5000).astype(np.uint16))
+        with open(os.path.join(dir_path, "intrinsics.txt"), "w") as f:
+            f.write(
+                f"{float(self.cam.fx)} {float(self.cam.fy)} "
+                f"{float(self.cam.u0)} {float(self.cam.v0)}\n"
+            )
