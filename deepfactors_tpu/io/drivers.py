@@ -307,6 +307,14 @@ class SyntheticInterface(CameraInterface):
         ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
         base = (0.5 + 0.22 * np.sin(xs / 9.0) + 0.18 * np.cos(ys / 7.0)
                 + 0.08 * np.sin((2 * xs + ys) / 13.0)).astype(np.float32)
+        # corner-rich blobs so feature detection/matching has texture
+        rng = np.random.RandomState(12)
+        for _ in range(max(8, H * W // 1500)):
+            cy = rng.randint(8, H - 8)
+            cx = rng.randint(8, W - 8)
+            r = rng.randint(2, 5)
+            base[cy - r:cy + r, cx - r:cx + r] = rng.uniform(0.05, 0.95)
+        base = np.clip(base, 0.0, 1.0)
         fx, fy, u0, v0, _, _ = self.intrinsics()
         cam = PinholeCamera.create(fx=fx, fy=fy, u0=u0, v0=v0,
                                    width=W, height=H)
