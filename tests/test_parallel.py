@@ -1,0 +1,153 @@
+"""Scale-out tests on the virtual 8-device CPU mesh: factor-sharded
+distributed BA (psum + Schur), sharded == unsharded equivalence, multi-scene
+batched odometry, and the dryrun entry."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from deepfactors_tpu.geometry import se3 as se3m, warping as wp
+from deepfactors_tpu.geometry.se3 import SE3
+from deepfactors_tpu.geometry.camera import PinholeCamera
+from deepfactors_tpu.ops import dense_sfm as ds, image as ip
+from deepfactors_tpu.parallel import dist_ba, large_map, multi_seq
+
+H, W, CS, K = 32, 48, 4, 6
+
+
+def _mesh(n=8):
+    return Mesh(np.array(jax.devices()[:n]), ("factors",))
+
+
+def make_map():
+    """K keyframes viewing a textured plane from slightly different poses,
+    with prx0 = 0.5 (depth 2) and smooth basis."""
+    rng = np.random.RandomState(0)
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = (0.5 + 0.25 * np.sin(xs / 5.0) + 0.2 * np.cos(ys / 4.0)).astype(np.float32)
+    cam = PinholeCamera.create(fx=40.0, fy=40.0, u0=W / 2, v0=H / 2,
+                               width=W, height=H)
+    pix = ds._pixel_grid(H, W).reshape(-1, 2)
+    dpt = jnp.full((H * W,), 2.0)
+    imgs, poses_true = [], []
+    for k in range(K):
+        d = np.zeros(6, np.float32)
+        d[0] = 0.02 * k
+        d[4] = 0.004 * k
+        pose = se3m.retract(se3m.identity(), jnp.asarray(d))
+        corresp = wp.find_correspondence(pix, dpt, cam, pose, check_bounds=False)
+        imgs.append(np.asarray(
+            ip.bilinear_sample(jnp.asarray(base), corresp.pix1)
+        ).reshape(H, W))
+        poses_true.append(pose)
+    images = jnp.asarray(np.stack(imgs))
+    grads = jax.vmap(ip.sobel_gradients)(images)
+    prx0 = jnp.full((K, H, W), 0.5)
+    jac = jnp.asarray(0.01 * rng.standard_normal((K, H, W, CS)).astype(np.float32))
+    stdev = jnp.zeros((K, H, W))
+    return cam, images, grads, prx0, jac, stdev, se3m.stack(poses_true)
+
+
+def test_large_map_ba_converges():
+    mesh = _mesh()
+    cam, images, grads, prx0, jac, stdev, poses_true = make_map()
+    # perturb poses, run distributed BA, expect recovery
+    rng = np.random.RandomState(1)
+    pert = jnp.asarray(
+        np.concatenate([np.zeros((1, 6)),
+                        rng.uniform(-0.01, 0.01, (K - 1, 6))]).astype(np.float32)
+    )
+    poses0 = jax.vmap(se3m.retract)(poses_true, pert)
+    codes = jnp.zeros((K, CS))
+    links = [(i, i + 1) for i in range(K - 1)] + [(0, K - 1)]
+    problem = large_map.build_problem(
+        mesh, "factors", images, prx0, jac, stdev, grads, poses0, codes, links
+    )
+    params = ds.SfmParams(huber_delta=0.3, avg_dpt=2.0, min_dpt=0.0,
+                          valid_border=1)
+    ba = large_map.LargeMapBA(mesh, "factors", K, CS, cam, params,
+                              pose_prior=0.05)
+    poses_out, codes_out, stats = ba.run(problem, iters=8)
+    err0 = float(jnp.max(jnp.linalg.norm(
+        jax.vmap(se3m.local)(poses_true, poses0)[..., :3], axis=-1)))
+    err1 = float(jnp.max(jnp.linalg.norm(
+        jax.vmap(se3m.local)(poses_true, poses_out)[..., :3], axis=-1)))
+    assert err1 < 0.4 * err0, f"BA did not converge: {err0:.4f} -> {err1:.4f}"
+
+
+def test_sharded_matches_single_device():
+    """The psum-reduced sharded system must equal the single-device system."""
+    cam, images, grads, prx0, jac, stdev, poses_true = make_map()
+    codes = jnp.zeros((K, CS))
+    links = [(i, i + 1) for i in range(K - 1)]
+    params = ds.SfmParams(huber_delta=0.3, avg_dpt=2.0, min_dpt=0.0,
+                          valid_border=1)
+
+    def run_with(mesh):
+        problem = large_map.build_problem(
+            mesh, "factors", images, prx0, jac, stdev, grads, poses_true,
+            codes, links,
+        )
+        ba = large_map.LargeMapBA(mesh, "factors", K, CS, cam, params)
+        poses_out, codes_out, _ = ba.run(problem, iters=2)
+        return np.asarray(poses_out.t), np.asarray(codes_out)
+
+    t8, c8 = run_with(_mesh(8))
+    t1, c1 = run_with(Mesh(np.array(jax.devices()[:1]), ("factors",)))
+    np.testing.assert_allclose(t8, t1, atol=1e-4)
+    np.testing.assert_allclose(c8, c1, atol=1e-4)
+
+
+def test_multi_sequence_batched():
+    """8 scenes in lockstep, sharded over the mesh; each tracks its own
+    motion independently."""
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    cam = PinholeCamera.create(fx=40.0, fy=40.0, u0=W / 2, v0=H / 2,
+                               width=W, height=H)
+    S = 8
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    rng = np.random.RandomState(0)
+    bases = []
+    for s in range(S):
+        b = 0.5 + 0.25 * np.sin(xs / (4 + s % 3)) + 0.2 * np.cos(ys / (5 + s % 2))
+        bases.append(b.astype(np.float32))
+    bases = np.stack(bases)
+
+    # per-scene distinct motion along x
+    steps = np.linspace(0.005, 0.02, S).astype(np.float32)
+
+    def render(s, i):
+        d = np.zeros(6, np.float32)
+        d[0] = steps[s] * i
+        pose = se3m.retract(se3m.identity(), jnp.asarray(d))
+        pix = ds._pixel_grid(H, W).reshape(-1, 2)
+        corresp = wp.find_correspondence(pix, jnp.full(H * W, 2.0), cam, pose,
+                                         check_bounds=False)
+        return np.asarray(
+            ip.bilinear_sample(jnp.asarray(bases[s]), corresp.pix1)
+        ).reshape(H, W)
+
+    odo = multi_seq.BatchedOdometry(cam, levels=2, iters_per_level=(8, 6),
+                                    mesh=mesh, kf_dist_threshold=10.0)
+    first = jnp.asarray(np.stack([render(s, 0) for s in range(S)]))
+    state = odo.init(first, jnp.full((S, H, W), 2.0))
+    for i in (1, 2):
+        frame = jnp.asarray(np.stack([render(s, i) for s in range(S)]))
+        state, pose_wc, switched = odo.process(state, frame)
+
+    # recovered x-translation should be ~ -2*step... pose_wc maps
+    # world->... check against the render pose convention: the rendered view
+    # at step i saw the plane as if the camera pose_wc had tangent +x steps
+    t = np.asarray(jax.device_get(pose_wc.t))
+    for s in range(S):
+        assert abs(abs(t[s, 0]) - 2 * steps[s]) < 0.01, \
+            f"scene {s}: tx {t[s, 0]} vs {2 * steps[s]}"
+
+
+def test_dryrun_multichip_entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
