@@ -61,11 +61,13 @@ def main():
 
     kf_mask = jnp.ones((cfg.max_keyframes,), bool)
     fr_mask = jnp.ones((cfg.max_frames,), bool)
+    rep = {k: jnp.asarray(v) for k, v in m.rep_pool._asdict().items()}
+    geo = {k: jnp.asarray(v) for k, v in m.geo_pool._asdict().items()}
     args = lambda n: (
         m.state, m.frames,
         jnp.asarray(m.pool.src), jnp.asarray(m.pool.dst),
         jnp.asarray(m.pool.dst_is_frame), jnp.asarray(m.pool.level),
-        jnp.asarray(m.pool.active), kf_mask, fr_mask,
+        jnp.asarray(m.pool.active), rep, geo, kf_mask, fr_mask,
         jnp.asarray(0, jnp.int32),
         se3m.identity().q, se3m.identity().t,
         jnp.asarray(cfg.lm_lambda, jnp.float32),

@@ -30,6 +30,20 @@ class FactorBatch(NamedTuple):
     inliers: Array   # [P]
 
 
+def take_rows(arr: Array, idx: Array) -> Array:
+    """Gather rows arr[idx] via a one-hot matmul.
+
+    XLA's leading-axis gather runs at ~3 GB/s on TPU (measured) — a one-hot
+    [P, K] @ [K, ...] contraction instead rides the MXU at memory speed.
+    Used for all factor-pool data gathers (the K keyframe axis is small)."""
+    K = arr.shape[0]
+    onehot = jax.nn.one_hot(idx, K, dtype=arr.dtype)  # [P, K]
+    flat = arr.reshape(K, -1)
+    out = jnp.einsum("pk,kn->pn", onehot, flat,
+                     preferred_element_type=arr.dtype)
+    return out.reshape((idx.shape[0],) + arr.shape[1:])
+
+
 def photometric_batch(
     state: ms.MapState,
     src: Array,    # [P] source keyframe slots (provide depth/code)
@@ -44,17 +58,12 @@ def photometric_batch(
     pose1 = ms.poses_of(state, dst)
     code0 = state.code[src]
 
-    def one(p0q, p0t, p1q, p1t, c0, img0, img1, dpt0, std0, jac0, grad1):
-        sys, _vld = ds.sfm_step(
-            SE3(p0q, p0t), SE3(p1q, p1t), c0, cam_level,
-            img0, img1, dpt0, std0, jac0, grad1, params,
-        )
-        return sys
-
-    sys = jax.vmap(one)(
-        pose0.q, pose0.t, pose1.q, pose1.t, code0,
-        lvl.img[src], lvl.img[dst], lvl.dpt[src], lvl.stdev[src],
-        lvl.jac[src], lvl.grad[dst],
+    sys = ds.sfm_step_batch(
+        pose0, pose1, code0, cam_level,
+        take_rows(lvl.img, src), take_rows(lvl.img, dst),
+        take_rows(lvl.dpt, src), take_rows(lvl.stdev, src),
+        take_rows(lvl.jac, src), take_rows(lvl.grad, dst),
+        params,
     )
     return FactorBatch(sys.JtJ, sys.Jtr, sys.residual, sys.inliers)
 
@@ -81,6 +90,8 @@ def photometric_error_batch(
 
     res = jax.vmap(one)(
         pose0.q, pose0.t, pose1.q, pose1.t,
-        lvl.img[src], lvl.img[dst], lvl.dpt[src], lvl.stdev[src], lvl.grad[dst],
+        take_rows(lvl.img, src), take_rows(lvl.img, dst),
+        take_rows(lvl.dpt, src), take_rows(lvl.stdev, src),
+        take_rows(lvl.grad, dst),
     )
     return res.residual, res.inliers

@@ -156,7 +156,9 @@ def update_depth_all(state: MapState, avg_dpt: float) -> MapState:
         prx = lvl.prx0 + jnp.einsum(
             "khwc,kc->khw", lvl.jac, state.code, preferred_element_type=jnp.float32
         )
-        dpt = wp.prox_to_depth(prx, avg_dpt)
+        # clamp: keeps depth finite on empty slots (prx0=0) so one-hot
+        # pool gathers (factors.take_rows) stay NaN-free
+        dpt = wp.prox_to_depth(jnp.clip(prx, 1e-4, None), avg_dpt)
         new_levels.append(lvl._replace(dpt=dpt))
     return state._replace(levels=tuple(new_levels))
 

@@ -38,6 +38,49 @@ from .image import (
     pack_bilinear_quad,
 )
 
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+_USE_PALLAS_WARP = None
+
+
+def use_pallas_warp(enable: bool = None) -> bool:
+    """Returns (optionally sets) whether dense ops use the Pallas band-warp
+    kernel (ops/pallas/warp_kernel.py) for image sampling. Defaults to on
+    when running on TPU hardware, off on CPU (where the XLA gather path is
+    exact and the interpreter would be slow)."""
+    global _USE_PALLAS_WARP
+    if enable is not None:
+        _USE_PALLAS_WARP = enable
+    if _USE_PALLAS_WARP is None:
+        _USE_PALLAS_WARP = _on_tpu()
+    return _USE_PALLAS_WARP
+
+
+def _sample_img_grad_xy(img1, grad1, x1, y1, H, W):
+    """Sample (img, gx, gy) at warped coords x1/y1 [N] ->
+    (i1 [N], gx [N], gy [N], coverage [N]). Pallas band-warp on TPU,
+    quad-packed XLA gather otherwise."""
+    if use_pallas_warp() and H % 8 == 0 and W % 64 == 0:
+        from .pallas.warp_kernel import bilinear_warp_planes
+
+        planes = jnp.stack([img1, grad1[..., 0], grad1[..., 1]])
+        sampled, coverage = bilinear_warp_planes(
+            planes, x1.reshape(H, W), y1.reshape(H, W)
+        )
+        return (sampled[0].reshape(-1), sampled[1].reshape(-1),
+                sampled[2].reshape(-1), coverage.reshape(-1) > 0.5)
+    packed = jnp.concatenate([img1[..., None], grad1], axis=-1)
+    pix1 = jnp.stack([x1, y1], axis=-1)
+    sampled = bilinear_sample_quad(pack_bilinear_quad(packed), pix1)
+    ones = jnp.ones(x1.shape, bool)
+    return sampled[..., 0], sampled[..., 1], sampled[..., 2], ones
+
 Array = jax.Array
 
 
@@ -88,9 +131,120 @@ def _masked_system(J: Array, r: Array, w: Array, valid: Array) -> SystemResult:
     return SystemResult(JtJ, Jtr, residual, inliers)
 
 
+def _masked_system_T(JT: Array, r: Array, w: Array, valid: Array) -> SystemResult:
+    """Same as _masked_system but with FEATURE-MAJOR Jacobians JT [D, N].
+
+    On TPU, [N, D] arrays pad the last dim to 128 lanes — for D=44 that
+    triples HBM traffic (and 21x for the 6-wide pose blocks). Feature-major
+    [D, N] pads only D -> next sublane multiple (~9%), which is the dominant
+    dense-pipeline optimization after the gather (SURVEY.md §7.3).
+    """
+    wv = jnp.where(valid, w, 0.0)
+    Jw = JT * wv[None, :]
+    rw = r * wv
+    JtJ = jnp.einsum("dn,en->de", Jw, Jw, preferred_element_type=jnp.float32)
+    Jtr = jnp.einsum("dn,n->d", Jw, rw, preferred_element_type=jnp.float32)
+    residual = jnp.sum(rw * rw)
+    inliers = jnp.sum(valid.astype(jnp.float32))
+    return SystemResult(JtJ, Jtr, residual, inliers)
+
+
 # ----------------------------------------------------------------------------
 # Photometric SfM aligner (44-dim system over pose0, pose1, code0)
 # ----------------------------------------------------------------------------
+
+class DenseWarp(NamedTuple):
+    """Feature-major correspondence fields — each entry is a flat [N] vector
+    (the generic warping.Correspondence holds [N, 2/3] arrays whose last dim
+    pads to 128 lanes on TPU; unrolling removes that traffic)."""
+
+    u: Array      # normalized ray x = (px - u0)/fx
+    v: Array      # normalized ray y
+    tptx: Array
+    tpty: Array
+    tptz: Array
+    pix1x: Array
+    pix1y: Array
+    valid: Array
+
+
+def _dense_warp_fields(H, W, dpt, cam, pose_10, border, min_dpt) -> DenseWarp:
+    """FindCorrespondence over the full image (warping.h:204-241), unrolled."""
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
+    u = (xs - cam.u0) / cam.fx
+    v = (ys - cam.v0) / cam.fy
+    ptx = u * dpt
+    pty = v * dpt
+    ptz = dpt
+    R = se3m.quat_to_matrix(pose_10.q)
+    t = pose_10.t
+    tptx = R[0, 0] * ptx + R[0, 1] * pty + R[0, 2] * ptz + t[0]
+    tpty = R[1, 0] * ptx + R[1, 1] * pty + R[1, 2] * ptz + t[1]
+    tptz = R[2, 0] * ptx + R[2, 1] * pty + R[2, 2] * ptz + t[2]
+    pix1x = cam.fx * tptx / tptz + cam.u0
+    pix1y = cam.fy * tpty / tptz + cam.v0
+    b = jnp.asarray(border, jnp.float32)
+    valid = (
+        (tptz > min_dpt)
+        & (pix1x >= b) & (pix1x < cam.width - b)
+        & (pix1y >= b) & (pix1y < cam.height - b)
+    )
+    return DenseWarp(u, v, tptx, tpty, tptz, pix1x, pix1y, valid)
+
+
+def _unrolled_warp_jacobians(warp: DenseWarp, dpt, cam, pose_10, gx, gy,
+                             avg_dpt):
+    """Gradient-contracted warp Jacobians with all small dims unrolled.
+
+    Computes A [6, N] = grad @ d pix1/d pose10 (decoupled tangent) and
+    err_J_prx [N] = -(grad @ d pix1/d prx) as feature-major stacks of [N]
+    vectors — NO [N, smalldim] intermediates (those pad to 128 lanes on TPU
+    and dominate HBM traffic). Mirrors the per-pixel math of
+    dense_sfm.h:124-201 exactly, vectorized over N.
+    """
+    x, y, z = warp.tptx, warp.tpty, warp.tptz
+    iz = 1.0 / z
+    # projection jacobian rows (pinhole_camera_impl.h:91-97)
+    d00 = cam.fx * iz
+    d02 = -cam.fx * x * iz * iz
+    d11 = cam.fy * iz
+    d12 = -cam.fy * y * iz * iz
+    # grad-contracted projection: gd_j = sum_r grad_r * dCam[r, j]
+    gd0 = gx * d00
+    gd1 = gy * d11
+    gd2 = gx * d02 + gy * d12
+
+    # dXdT = [I | -hat(Rx)] with Rx = R @ pt = tpt - t (warping.h:156-164);
+    # A_k = gd . dXdT[:, k]
+    t10 = pose_10.t
+    vx = x - t10[..., 0]
+    vy = y - t10[..., 1]
+    vz = z - t10[..., 2]
+    # -hat(v) columns: c3 = (0, -vz, vy), c4 = (vz, 0, -vx), c5 = (-vy, vx, 0)
+    A = jnp.stack(
+        [
+            gd0,
+            gd1,
+            gd2,
+            -gd1 * vz + gd2 * vy,
+            gd0 * vz - gd2 * vx,
+            -gd0 * vy + gd1 * vx,
+        ]
+    )  # [6, N]
+
+    # depth chain (warping.h:259-291): pix1_J_dpt = dCam @ R @ pt_J_dpt
+    R = se3m.quat_to_matrix(pose_10.q)
+    u, v = warp.u, warp.v
+    m0 = R[0, 0] * u + R[0, 1] * v + R[0, 2]
+    m1 = R[1, 0] * u + R[1, 1] * v + R[1, 2]
+    m2 = R[2, 0] * u + R[2, 1] * v + R[2, 2]
+    pjd0 = d00 * m0 + d02 * m2
+    pjd1 = d11 * m1 + d12 * m2
+    dpt_J_prx = wp.depth_jacobian_prx(dpt, avg_dpt)
+    err_J_prx = -(gx * pjd0 + gy * pjd1) * dpt_J_prx
+    return A, err_J_prx
+
 
 def sfm_step(
     pose0: SE3,
@@ -108,43 +262,121 @@ def sfm_step(
     """One SfM linearization: returns (SystemResult [12+CS], valid0 [H,W]).
 
     Per-pixel math mirrors DenseSfm (dense_sfm.h:124-201); the J-row layout is
-    [dErr/dpose0 (6) | dErr/dpose1 (6) | dErr/dcode0 (CS)].
+    [dErr/dpose0 (6) | dErr/dpose1 (6) | dErr/dcode0 (CS)], built
+    feature-major ([D, N]) for TPU lane efficiency.
     """
     H, W = img0.shape
     CS = prx_jac0.shape[-1]
     pose_10, j_pose1, j_pose0 = se3m.relative_pose_jacobians(pose1, pose0)
 
-    pix0 = _pixel_grid(H, W).reshape(-1, 2)
     dpt = dpt0.reshape(-1)
-    corresp = wp.find_correspondence(
-        pix0, dpt, cam, pose_10, border=params.valid_border, min_dpt=params.min_dpt
+    warp = _dense_warp_fields(
+        H, W, dpt, cam, pose_10, params.valid_border, params.min_dpt
     )
-    # image terms at warped coords: ONE gather for (img, gx, gy) x 4 corners
-    packed = jnp.concatenate([img1[..., None], grad1], axis=-1)  # [H, W, 3]
-    sampled = bilinear_sample_quad(pack_bilinear_quad(packed), corresp.pix1)
-    i1 = sampled[..., 0]
-    grad = sampled[..., 1:3]  # [N, 2]
+    # image terms at warped coords (fused Pallas band-warp on TPU)
+    i1, gx, gy, coverage = _sample_img_grad_xy(
+        img1, grad1, warp.pix1x, warp.pix1y, H, W
+    )
+    valid = warp.valid & coverage
 
-    # pose jacobians: J_pose = -grad @ corresp_J_pose10 @ pose10_J_pose{0,1}
-    cJp = wp.correspondence_jacobian_pose(corresp, dpt, cam, pose_10)  # [N, 2, 6]
-    g_cJp = jnp.einsum("nc,nck->nk", grad, cJp)  # [N, 6] = grad @ corresp_J_pose10
-    Jp0 = -g_cJp @ j_pose0  # [N, 6]
-    Jp1 = -g_cJp @ j_pose1  # [N, 6]
+    A, err_J_prx = _unrolled_warp_jacobians(
+        warp, dpt, cam, pose_10, gx, gy, params.avg_dpt
+    )
+    # J_poseT = -(j_pose^T @ A): [6, N]
+    Jp0T = -jnp.einsum("ki,kn->in", j_pose0, A)
+    Jp1T = -jnp.einsum("ki,kn->in", j_pose1, A)
+    # code jacobian: err_J_prx * prx_J_cde, feature-major
+    jacT = prx_jac0.reshape(-1, CS).T  # [CS, N]
+    JcT = err_J_prx[None, :] * jacT
 
-    # code jacobian: err_J_prx * prx_J_cde
-    pix1_J_prx = wp.correspondence_jacobian_prx(
-        corresp, dpt, cam, pose_10, params.avg_dpt
-    )  # [N, 2]
-    err_J_prx = -jnp.sum(grad * pix1_J_prx, axis=-1)  # [N]
-    Jc = err_J_prx[:, None] * prx_jac0.reshape(-1, CS)  # [N, CS]
-
-    J = jnp.concatenate([Jp0, Jp1, Jc], axis=-1)  # [N, 12+CS]
+    JT = jnp.concatenate([Jp0T, Jp1T, JcT], axis=0)  # [12+CS, N]
     r = img0.reshape(-1) - i1
     w = huber_weight(r, params.huber_delta)
 
-    sys = _masked_system(J, r, w, corresp.valid)
-    valid0 = corresp.valid.reshape(H, W).astype(img0.dtype)
+    sys = _masked_system_T(JT, r, w, valid)
+    valid0 = valid.reshape(H, W).astype(img0.dtype)
     return sys, valid0
+
+
+def sfm_step_batch(
+    poses0: SE3,      # [P]
+    poses1: SE3,      # [P]
+    codes0: Array,    # [P, CS]
+    cam: PinholeCamera,
+    img0s: Array,     # [P, H, W]
+    img1s: Array,     # [P, H, W]
+    dpt0s: Array,     # [P, H, W]
+    std0s: Array,     # [P, H, W]
+    jacs0: Array,     # [P, H, W, CS]
+    grad1s: Array,    # [P, H, W, 2]
+    params: SfmParams,
+) -> SystemResult:
+    """Batched SfM linearization over P factors.
+
+    On TPU the correspondence + bilinear sampling runs in ONE fused Pallas
+    kernel with the factor axis in the kernel grid (dense_warp_batch) — a
+    vmapped pallas_call pays per-element dispatch overhead instead. The
+    Jacobian build + JtJ reduction stays feature-major XLA (batched MXU
+    matmul)."""
+    P, H, W = img0s.shape
+    CS = jacs0.shape[-1]
+    pose_10, j_pose1, j_pose0 = jax.vmap(se3m.relative_pose_jacobians)(
+        poses1, poses0
+    )
+
+    if use_pallas_warp() and H % 8 == 0 and W % 64 == 0:
+        from .pallas.warp_kernel import dense_warp_batch, make_warp_params
+
+        wp_params = make_warp_params(pose_10, cam, params.valid_border,
+                                     params.min_dpt)
+        i1, gx, gy, tptx, tpty, tptz, validf = dense_warp_batch(
+            wp_params, dpt0s, img1s,
+            grad1s[..., 0], grad1s[..., 1],
+        )
+        valid = validf > 0.5
+
+        xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        u = ((xs - cam.u0) / cam.fx)[None]
+        v = ((ys - cam.v0) / cam.fy)[None]
+        warp = DenseWarp(
+            u=jnp.broadcast_to(u, (P, H, W)).reshape(P, -1),
+            v=jnp.broadcast_to(v, (P, H, W)).reshape(P, -1),
+            tptx=tptx.reshape(P, -1), tpty=tpty.reshape(P, -1),
+            tptz=tptz.reshape(P, -1),
+            pix1x=None, pix1y=None, valid=valid.reshape(P, -1),
+        )
+
+        def one(warp_p, dpt, gx_p, gy_p, i1_p, img0, jac, p10q, p10t, jp0,
+                jp1, c0):
+            A, err_J_prx = _unrolled_warp_jacobians(
+                warp_p, dpt.reshape(-1), cam, SE3(p10q, p10t), gx_p, gy_p,
+                params.avg_dpt,
+            )
+            Jp0T = -jnp.einsum("ki,kn->in", jp0, A)
+            Jp1T = -jnp.einsum("ki,kn->in", jp1, A)
+            jacT = jac.reshape(-1, CS).T
+            JcT = err_J_prx[None, :] * jacT
+            JT = jnp.concatenate([Jp0T, Jp1T, JcT], axis=0)
+            r = img0.reshape(-1) - i1_p
+            w = huber_weight(r, params.huber_delta)
+            return _masked_system_T(JT, r, w, warp_p.valid)
+
+        return jax.vmap(one)(
+            warp, dpt0s, gx.reshape(P, -1), gy.reshape(P, -1),
+            i1.reshape(P, -1), img0s, jacs0, pose_10.q, pose_10.t,
+            j_pose0, j_pose1, codes0,
+        )
+
+    def one(q0, t0, q1, t1, c0, img0, img1, dpt0, std0, jac0, grad1):
+        sys, _ = sfm_step(SE3(q0, t0), SE3(q1, t1), c0, cam, img0, img1,
+                          dpt0, std0, jac0, grad1, params)
+        return sys
+
+    return jax.vmap(one)(
+        poses0.q, poses0.t, poses1.q, poses1.t, codes0,
+        img0s, img1s, dpt0s, std0s, jacs0, grad1s,
+    )
 
 
 def sfm_evaluate_error(
@@ -199,18 +431,17 @@ def se3_step(
     """One tracking GN linearization (lucas_kanade_se3.h:35-77). pose_10 maps
     keyframe (cam0) points into the live frame (cam1)."""
     H, W = img0.shape
-    pix0 = _pixel_grid(H, W).reshape(-1, 2)
     dpt = dpt0.reshape(-1)
-    corresp = wp.find_correspondence(pix0, dpt, cam, pose_10, border=1, min_dpt=0.0)
-    packed = jnp.concatenate([img1[..., None], grad1], axis=-1)
-    sampled = bilinear_sample_quad(pack_bilinear_quad(packed), corresp.pix1)
-    i1 = sampled[..., 0]
-    grad = sampled[..., 1:3]
-    cJp = wp.correspondence_jacobian_pose(corresp, dpt, cam, pose_10)
-    J = -jnp.einsum("nc,nck->nk", grad, cJp)  # [N, 6]
+    warp = _dense_warp_fields(H, W, dpt, cam, pose_10, 1, 0.0)
+    i1, gx, gy, coverage = _sample_img_grad_xy(
+        img1, grad1, warp.pix1x, warp.pix1y, H, W
+    )
+    valid = warp.valid & coverage
+    A, _ = _unrolled_warp_jacobians(warp, dpt, cam, pose_10, gx, gy, 2.0)
+    JT = -A  # [6, N]
     r = img0.reshape(-1) - i1
     w = huber_weight(r, huber_delta)
-    return _masked_system(J, r, w, corresp.valid)
+    return _masked_system_T(JT, r, w, valid)
 
 
 def se3_solve_and_update(JtJ: Array, Jtr: Array, pose: SE3, damping=0.0) -> SE3:

@@ -237,4 +237,4 @@ def update_depth(code: Array, prx_orig: Array, prx_jac: Array, avg_dpt) -> Array
     prx = prx_orig + jnp.einsum(
         "hwc,c->hw", prx_jac, code, preferred_element_type=jnp.float32
     )
-    return warping.prox_to_depth(prx, avg_dpt)
+    return warping.prox_to_depth(jnp.clip(prx, 1e-4, None), avg_dpt)
