@@ -247,7 +247,10 @@ class IclNuimInterface(CameraInterface):
 @register_interface("files")
 class FileInterface(CameraInterface):
     """Plain image-directory driver (file_interface.cpp): sorted glob of
-    images, no ground truth; intrinsics must be provided externally."""
+    images, no ground truth; intrinsics must be provided externally.
+
+    Uses the native C++ threaded-prefetch decoder (native/dataset_loader.cpp)
+    when built, so frame I/O overlaps device compute."""
 
     def __init__(self, path: str):
         exts = ("*.png", "*.jpg", "*.jpeg")
@@ -267,6 +270,16 @@ class FileInterface(CameraInterface):
                 self._w, self._h)
 
     def frames(self):
+        from .. import native
+
+        if native.available():
+            loader = native.NativeLoader(
+                self.files, timestamps=[float(i) for i in range(len(self.files))],
+                n_threads=3,
+            )
+            for ts, img in loader:
+                yield FrameData(ts, img, None, None, None)
+            return
         for i, f in enumerate(self.files):
             yield FrameData(float(i), _imread_gray(f), _imread_color(f),
                             None, None)
