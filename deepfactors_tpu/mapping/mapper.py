@@ -80,6 +80,8 @@ class MapperConfig(NamedTuple):
     geo_stochastic: bool = False
     geo_huber: float = 0.1
     geo_iters: int = 15
+    # use the C++ scheduler backend (native/scheduler.cpp) when built
+    use_native_scheduler: bool = False
 
 
 # ----------------------------------------------------------------------------
@@ -216,62 +218,11 @@ class WorkManager:
 # Jitted mapping step
 # ----------------------------------------------------------------------------
 
-class FactorPool(NamedTuple):
-    """Host-mirrored photometric factor pool, one row per pool slot."""
-
-    src: np.ndarray        # [P] int32 source keyframe slot
-    dst: np.ndarray        # [P] int32 target slot (kf or frame)
-    dst_is_frame: np.ndarray  # [P] bool
-    level: np.ndarray      # [P] int32 current pyramid level
-    active: np.ndarray     # [P] bool
-
-
-def _empty_pool(P: int) -> FactorPool:
-    return FactorPool(
-        src=np.zeros(P, np.int32),
-        dst=np.zeros(P, np.int32),
-        dst_is_frame=np.zeros(P, bool),
-        level=np.zeros(P, np.int32),
-        active=np.zeros(P, bool),
-    )
-
-
-class RepPool(NamedTuple):
-    """Reprojection factor pool (host-mirrored)."""
-
-    src: np.ndarray     # [P]
-    dst: np.ndarray     # [P]
-    active: np.ndarray  # [P]
-    kp0: np.ndarray     # [P, M, 2]
-    kp1: np.ndarray     # [P, M, 2]
-    mvalid: np.ndarray  # [P, M]
-
-
-def _empty_rep_pool(P: int, M: int) -> RepPool:
-    return RepPool(
-        src=np.zeros(P, np.int32), dst=np.zeros(P, np.int32),
-        active=np.zeros(P, bool),
-        kp0=np.zeros((P, M, 2), np.float32),
-        kp1=np.zeros((P, M, 2), np.float32),
-        mvalid=np.zeros((P, M), bool),
-    )
-
-
-class GeoPool(NamedTuple):
-    """Sparse geometric factor pool (host-mirrored)."""
-
-    src: np.ndarray     # [P]
-    dst: np.ndarray     # [P]
-    active: np.ndarray  # [P]
-    points: np.ndarray  # [P, N, 2]
-
-
-def _empty_geo_pool(P: int, N: int) -> GeoPool:
-    return GeoPool(
-        src=np.zeros(P, np.int32), dst=np.zeros(P, np.int32),
-        active=np.zeros(P, bool),
-        points=np.zeros((P, N, 2), np.float32),
-    )
+# pool structures shared with the scheduler backends
+from .mapper_pools import (  # noqa: F401  (re-exported for compatibility)
+    FactorPool, GeoPool, RepPool, _empty_geo_pool, _empty_pool,
+    _empty_rep_pool,
+)
 
 
 def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
@@ -512,10 +463,9 @@ class Mapper:
         )
         self.frames = fr.create(cfg.max_frames, cfg.height, cfg.width,
                                 cfg.pyramid_levels)
-        self.pool = _empty_pool(cfg.max_factors)
-        self.rep_pool = _empty_rep_pool(cfg.max_rep_factors, cfg.max_keypoints)
-        self.geo_pool = _empty_geo_pool(cfg.max_geo_factors, cfg.geo_npoints)
-        self.work = WorkManager()
+        from .scheduler import make_scheduler
+
+        self.sched = make_scheduler(cfg)
         self._run_fn = _make_run_fn(cfg, cam)
         self._rng_key = jax.random.PRNGKey(42)
         # host-side bookkeeping
@@ -525,6 +475,25 @@ class Mapper:
         self.n_links = 0
         self._anchor_pose: SE3 = se3m.identity()
         self.last_max_delta = float("inf")
+
+    # -- scheduler/pool views (compat with tests/tools) ----------------------
+
+    @property
+    def pool(self):
+        return self.sched.photo_pool
+
+    @property
+    def rep_pool(self):
+        return self.sched.rep_pool
+
+    @property
+    def geo_pool(self):
+        return self.sched.geo_pool
+
+    @property
+    def work(self):
+        """Python-backend WorkManager (raises on the native backend)."""
+        return self.sched.wm
 
     # -- slot management ----------------------------------------------------
 
@@ -543,24 +512,6 @@ class Mapper:
                 return s
         # reuse the oldest (it has been marginalized already)
         return self.frame_slots.pop(0)
-
-    def _alloc_pool_slot(self) -> int:
-        for i in range(self.cfg.max_factors):
-            if not self.pool.active[i]:
-                return i
-        raise RuntimeError("factor pool exhausted — raise max_factors")
-
-    def _alloc_rep_slot(self) -> int:
-        for i in range(self.cfg.max_rep_factors):
-            if not self.rep_pool.active[i]:
-                return i
-        raise RuntimeError("rep factor pool exhausted — raise max_rep_factors")
-
-    def _alloc_geo_slot(self) -> int:
-        for i in range(self.cfg.max_geo_factors):
-            if not self.geo_pool.active[i]:
-                return i
-        raise RuntimeError("geo factor pool exhausted — raise max_geo_factors")
 
     def _next_key(self):
         self._rng_key, k = jax.random.split(self._rng_key)
@@ -627,7 +578,7 @@ class Mapper:
         s1 = self.add_keyframe_to_map(img1, p1)
         self._anchor_pose = p0
         self._add_photo_pair(s0, s1)
-        while not self.work.empty():
+        while self.has_work():
             self.mapping_step()
         return s0, s1
 
@@ -653,15 +604,11 @@ class Mapper:
             if self.cfg.use_reprojection:
                 self._add_rep_pair(slot, back)
             if self.cfg.use_geometric:
-                geo = GeoWork(
-                    slot, back,
+                self.sched.add_geo(
+                    slot, back, self.cfg.geo_iters,
                     np.asarray(jax.device_get(self._sample_geo_points())),
-                    self.cfg.geo_iters,
+                    parent=last_photo,
                 )
-                if last_photo is not None:
-                    last_photo.add_child(geo)
-                else:
-                    self.work.add(geo)
         return slot
 
     def _sample_geo_points(self):
@@ -695,10 +642,11 @@ class Mapper:
             # empty-match guard (df_work.cpp:316-347)
             if mvalid.sum() < 8:
                 continue
-            self.work.add(RepWork(
-                a, b, np.asarray(jax.device_get(kp0)),
-                np.asarray(jax.device_get(kp1)), mvalid, self.cfg.rep_iters,
-            ))
+            self.sched.add_rep(
+                a, b, self.cfg.rep_iters,
+                np.asarray(jax.device_get(kp0)),
+                np.asarray(jax.device_get(kp1)), mvalid,
+            )
 
     def enqueue_frame(self, img, pose_init: SE3, kf_slot: int):
         """EnqueueFrame (mapper.cpp:247-267): one-way frame as photometric
@@ -710,8 +658,7 @@ class Mapper:
         fslot = self._alloc_frame_slot()
         self.frames = fr.add_frame(self.frames, fslot, pose_init, img_pyr, grad_pyr)
         self.frame_slots.append(fslot)
-        w = PhotoWork(kf_slot, fslot, True, self.cfg.pho_iters)
-        self.work.add(w)
+        self.sched.add_photo(kf_slot, fslot, True, self.cfg.pho_iters)
         return fslot
 
     def enqueue_link(self, slot0: int, slot1: int, photo=True, rep=False,
@@ -724,29 +671,19 @@ class Mapper:
         if rep and self.cfg.use_reprojection:
             self._add_rep_pair(slot0, slot1)
         if geo and self.cfg.use_geometric:
-            self.work.add(GeoWork(
-                slot0, slot1,
+            self.sched.add_geo(
+                slot0, slot1, self.cfg.geo_iters,
                 np.asarray(jax.device_get(self._sample_geo_points())),
-                self.cfg.geo_iters,
-            ))
+            )
 
     def _add_photo_pair(self, s0: int, s1: int, second_removes: bool = False):
         """Both-way photometric works (mapper.cpp:305-311). The second
         direction carries remove_after like the reference. A new work on an
         existing pair replaces the old persistent factor (bounded pool)."""
-        for a, b in ((s0, s1), (s1, s0)):
-            for i in range(self.cfg.max_factors):
-                if (self.pool.active[i] and not self.pool.dst_is_frame[i]
-                        and self.pool.src[i] == a and self.pool.dst[i] == b):
-                    self.pool.active[i] = False
-            for w in list(self.work.work):
-                if (isinstance(w, PhotoWork) and not w.dst_is_frame
-                        and w.src == a and w.dst == b):
-                    self.work.work.remove(w)
-        self.work.add(PhotoWork(s0, s1, False, self.cfg.pho_iters))
-        second = self.work.add(
-            PhotoWork(s1, s0, False, self.cfg.pho_iters,
-                      remove_after=second_removes)
+        self.sched.add_photo(s0, s1, False, self.cfg.pho_iters, replace=True)
+        second = self.sched.add_photo(
+            s1, s0, False, self.cfg.pho_iters,
+            remove_after=second_removes, replace=True,
         )
         self.state = ms.add_link(self.state, self.n_links, s0, s1)
         self.n_links += 1
@@ -778,79 +715,21 @@ class Mapper:
                     marginalized=self.frames.marginalized.at[s].set(True)
                 )
                 # drop any outstanding works + pool factors on this frame
-                for w in list(self.work.work):
-                    if isinstance(w, PhotoWork) and w.dst_is_frame and w.dst == s:
-                        if w.pool_slot is not None:
-                            self.pool.active[w.pool_slot] = False
-                self.work.erase_involving(s, is_frame=True)
-                for i in range(self.cfg.max_factors):
-                    if self.pool.active[i] and self.pool.dst_is_frame[i] and \
-                            self.pool.dst[i] == s:
-                        self.pool.active[i] = False
+                self.sched.erase_frame(s)
 
     # -- the mapping step ----------------------------------------------------
 
     def _bookkeeping(self):
-        """Work::Bookkeeping semantics (df_work.cpp:117-136): on removal or
-        new-level-start, swap the work's pool factor for one at the new level."""
-        for w in self.work.work:
-            if isinstance(w, PhotoWork):
-                if w.remove:
-                    if w.pool_slot is not None:
-                        self.pool.active[w.pool_slot] = False
-                        w.pool_slot = None
-                    w.active_level = -2
-                    continue
-                if w.first or (w.active_level >= 0 and w.is_new_level_start()):
-                    w.first = False
-                    if w.pool_slot is None:
-                        w.pool_slot = self._alloc_pool_slot()
-                    i = w.pool_slot
-                    self.pool.src[i] = w.src
-                    self.pool.dst[i] = w.dst
-                    self.pool.dst_is_frame[i] = w.dst_is_frame
-                    self.pool.level[i] = max(w.active_level, 0)
-                    self.pool.active[i] = True
-            elif isinstance(w, RepWork):
-                if w.remove:
-                    if w.pool_slot is not None:
-                        self.rep_pool.active[w.pool_slot] = False
-                        w.pool_slot = None
-                    w.active_level = -2
-                    continue
-                if w.first:
-                    w.first = False
-                    w.pool_slot = self._alloc_rep_slot()
-                    i = w.pool_slot
-                    self.rep_pool.src[i] = w.src
-                    self.rep_pool.dst[i] = w.dst
-                    M = w.kp0.shape[0]
-                    self.rep_pool.kp0[i, :M] = w.kp0
-                    self.rep_pool.kp1[i, :M] = w.kp1
-                    self.rep_pool.mvalid[i] = False
-                    self.rep_pool.mvalid[i, :M] = w.mvalid
-                    self.rep_pool.active[i] = True
-            elif isinstance(w, GeoWork):
-                if w.remove:
-                    if w.pool_slot is not None:
-                        self.geo_pool.active[w.pool_slot] = False
-                        w.pool_slot = None
-                    w.active_level = -2
-                    continue
-                if w.first:
-                    w.first = False
-                    w.pool_slot = self._alloc_geo_slot()
-                    i = w.pool_slot
-                    self.geo_pool.src[i] = w.src
-                    self.geo_pool.dst[i] = w.dst
-                    self.geo_pool.points[i] = w.points
-                    self.geo_pool.active[i] = True
-                elif self.cfg.geo_stochastic and w.pool_slot is not None:
-                    # stochastic resampling per relinearization
-                    # (sparse_geometric_factor.cpp:153-157)
-                    self.geo_pool.points[w.pool_slot] = np.asarray(
-                        jax.device_get(self._sample_geo_points())
-                    )
+        """Work::Bookkeeping semantics (df_work.cpp:117-136), delegated to the
+        scheduler backend (Python or native C++)."""
+        resample = None
+        if self.cfg.geo_stochastic:
+            # stochastic resampling per relinearization
+            # (sparse_geometric_factor.cpp:153-157)
+            resample = lambda: np.asarray(
+                jax.device_get(self._sample_geo_points())
+            )
+        self.sched.bookkeeping(stochastic_geo_resample=resample)
 
     def mapping_step(self):
         """One mapping *phase*: runs GN iterations on-device until the next
@@ -858,19 +737,12 @@ class Mapper:
         (update norm < relin_threshold — the reference's no-relinearize
         signal). Equivalent to a run of reference MappingSteps
         (mapper.cpp:449-552) with ONE host sync."""
-        if self.work.empty():
+        if not self.sched.has_work():
             return
         self._bookkeeping()
 
         # iterations until the next factor-set change
-        budget = 1
-        budgets = [
-            w.iters[w.active_level] + 1
-            for w in self.work.work
-            if w.active_level >= 0
-        ]
-        if budgets:
-            budget = max(1, min(budgets))
+        budget = self.sched.budget()
 
         levels_present = tuple(
             sorted({int(l) for l, a in zip(self.pool.level, self.pool.active) if a})
@@ -880,8 +752,7 @@ class Mapper:
             levels_present = (0,)
         if not levels_present:
             # nothing to optimize; still tick the schedule once
-            self.work.update()
-            self.work.sweep_finished()
+            self.sched.tick_empty()
             return
 
         kf_mask = jnp.ones((self.cfg.max_keyframes,), bool)
@@ -906,14 +777,12 @@ class Mapper:
         iters_done = max(1, int(iters_done_f))
         self.last_max_delta = float(last_delta)
 
-        for _ in range(iters_done):
-            self.work.update()
-        if self.last_max_delta < self.cfg.relin_threshold:
-            self.work.signal_no_relinearize()
-        self.work.sweep_finished()
+        self.sched.update(
+            iters_done, self.last_max_delta < self.cfg.relin_threshold
+        )
 
     def has_work(self) -> bool:
-        return not self.work.empty()
+        return self.sched.has_work()
 
     def update_map(self):
         """Re-materialize depth maps after optimization (UpdateMap,
@@ -929,10 +798,9 @@ class Mapper:
         )
         self.frames = fr.create(cfg.max_frames, cfg.height, cfg.width,
                                 cfg.pyramid_levels)
-        self.pool = _empty_pool(cfg.max_factors)
-        self.rep_pool = _empty_rep_pool(cfg.max_rep_factors, cfg.max_keypoints)
-        self.geo_pool = _empty_geo_pool(cfg.max_geo_factors, cfg.geo_npoints)
-        self.work = WorkManager()
+        from .scheduler import make_scheduler
+
+        self.sched = make_scheduler(cfg)
         self.kf_slots = []
         self.frame_slots = []
         self.kf_ids = {}

@@ -1,0 +1,265 @@
+"""Work-scheduler backends for the Mapper.
+
+One interface, two implementations:
+  - PyScheduler: the Python WorkManager + factor pools (reference semantics,
+    df_work.cpp/work_manager.cpp — see mapper.Work/WorkManager)
+  - NativeScheduler: the C++ scheduler (native/scheduler.cpp via ctypes),
+    verified trace-equivalent to the Python one (tests/test_native.py);
+    per-factor payloads (reprojection matches, geometric sample points) are
+    placed into the pool arrays Python-side using the slot assignments the
+    native scheduler reports.
+
+The Mapper selects the native backend when the shared library is built and
+``MapperConfig.use_native_scheduler`` is set.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .mapper_pools import (FactorPool, GeoPool, RepPool, _empty_geo_pool,
+                           _empty_pool, _empty_rep_pool)
+
+
+class PyScheduler:
+    """Python backend wrapping Work/WorkManager (defined in mapper.py to
+    keep the reference-semantics classes in one place)."""
+
+    def __init__(self, cfg):
+        from .mapper import WorkManager
+
+        self.cfg = cfg
+        self.wm = WorkManager()
+        self.photo_pool = _empty_pool(cfg.max_factors)
+        self.rep_pool = _empty_rep_pool(cfg.max_rep_factors, cfg.max_keypoints)
+        self.geo_pool = _empty_geo_pool(cfg.max_geo_factors, cfg.geo_npoints)
+
+    # -- enqueue --------------------------------------------------------
+
+    def add_photo(self, src, dst, dst_is_frame, iters, remove_after=False,
+                  replace=False):
+        from .mapper import PhotoWork
+
+        if replace and not dst_is_frame:
+            for i in range(self.cfg.max_factors):
+                if (self.photo_pool.active[i]
+                        and not self.photo_pool.dst_is_frame[i]
+                        and self.photo_pool.src[i] == src
+                        and self.photo_pool.dst[i] == dst):
+                    self.photo_pool.active[i] = False
+            for w in list(self.wm.work):
+                if (isinstance(w, PhotoWork) and not w.dst_is_frame
+                        and w.src == src and w.dst == dst):
+                    self.wm.work.remove(w)
+        return self.wm.add(PhotoWork(src, dst, dst_is_frame, iters,
+                                     remove_after=remove_after))
+
+    def add_rep(self, src, dst, iters, kp0, kp1, mvalid):
+        from .mapper import RepWork
+
+        return self.wm.add(RepWork(src, dst, kp0, kp1, mvalid, iters))
+
+    def add_geo(self, src, dst, iters, points, parent=None):
+        from .mapper import GeoWork
+
+        w = GeoWork(src, dst, points, iters)
+        if parent is not None:
+            parent.add_child(w)
+        else:
+            self.wm.add(w)
+        return w
+
+    def erase_frame(self, fslot: int):
+        from .mapper import PhotoWork
+
+        for w in list(self.wm.work):
+            if isinstance(w, PhotoWork) and w.dst_is_frame and w.dst == fslot:
+                if w.pool_slot is not None:
+                    self.photo_pool.active[w.pool_slot] = False
+        self.wm.erase_involving(fslot, is_frame=True)
+        for i in range(self.cfg.max_factors):
+            if (self.photo_pool.active[i] and self.photo_pool.dst_is_frame[i]
+                    and self.photo_pool.dst[i] == fslot):
+                self.photo_pool.active[i] = False
+
+    # -- scheduling -----------------------------------------------------
+
+    def bookkeeping(self, stochastic_geo_resample=None):
+        from .mapper import GeoWork, PhotoWork, RepWork
+
+        def alloc(pool, cap, name):
+            for i in range(cap):
+                if not pool.active[i]:
+                    return i
+            raise RuntimeError(f"{name} factor pool exhausted")
+
+        for w in self.wm.work:
+            if isinstance(w, PhotoWork):
+                if w.remove:
+                    if w.pool_slot is not None:
+                        self.photo_pool.active[w.pool_slot] = False
+                        w.pool_slot = None
+                    w.active_level = -2
+                    continue
+                if w.first or (w.active_level >= 0 and w.is_new_level_start()):
+                    w.first = False
+                    if w.pool_slot is None:
+                        w.pool_slot = alloc(self.photo_pool,
+                                            self.cfg.max_factors, "photo")
+                    i = w.pool_slot
+                    self.photo_pool.src[i] = w.src
+                    self.photo_pool.dst[i] = w.dst
+                    self.photo_pool.dst_is_frame[i] = w.dst_is_frame
+                    self.photo_pool.level[i] = max(w.active_level, 0)
+                    self.photo_pool.active[i] = True
+            elif isinstance(w, RepWork):
+                if w.remove:
+                    if w.pool_slot is not None:
+                        self.rep_pool.active[w.pool_slot] = False
+                        w.pool_slot = None
+                    w.active_level = -2
+                    continue
+                if w.first:
+                    w.first = False
+                    w.pool_slot = alloc(self.rep_pool,
+                                        self.cfg.max_rep_factors, "rep")
+                    i = w.pool_slot
+                    self.rep_pool.src[i] = w.src
+                    self.rep_pool.dst[i] = w.dst
+                    M = w.kp0.shape[0]
+                    self.rep_pool.kp0[i, :M] = w.kp0
+                    self.rep_pool.kp1[i, :M] = w.kp1
+                    self.rep_pool.mvalid[i] = False
+                    self.rep_pool.mvalid[i, :M] = w.mvalid
+                    self.rep_pool.active[i] = True
+            elif isinstance(w, GeoWork):
+                if w.remove:
+                    if w.pool_slot is not None:
+                        self.geo_pool.active[w.pool_slot] = False
+                        w.pool_slot = None
+                    w.active_level = -2
+                    continue
+                if w.first:
+                    w.first = False
+                    w.pool_slot = alloc(self.geo_pool,
+                                        self.cfg.max_geo_factors, "geo")
+                    i = w.pool_slot
+                    self.geo_pool.src[i] = w.src
+                    self.geo_pool.dst[i] = w.dst
+                    self.geo_pool.points[i] = w.points
+                    self.geo_pool.active[i] = True
+                elif (stochastic_geo_resample is not None
+                      and w.pool_slot is not None):
+                    self.geo_pool.points[w.pool_slot] = \
+                        stochastic_geo_resample()
+
+    def budget(self) -> int:
+        budgets = [w.iters[w.active_level] + 1 for w in self.wm.work
+                   if w.active_level >= 0]
+        return max(1, min(budgets)) if budgets else 1
+
+    def update(self, iters_done: int, converged: bool):
+        for _ in range(iters_done):
+            self.wm.update()
+        if converged:
+            self.wm.signal_no_relinearize()
+        self.wm.sweep_finished()
+
+    def has_work(self) -> bool:
+        return not self.wm.empty()
+
+    def tick_empty(self):
+        """One schedule tick when no factors are live (keeps parity with the
+        empty-levels path)."""
+        self.wm.update()
+        self.wm.sweep_finished()
+
+
+class NativeBackend:
+    """C++ scheduler backend (native/scheduler.cpp)."""
+
+    def __init__(self, cfg):
+        from .. import native
+
+        self.cfg = cfg
+        self.native = native
+        self.ns = native.NativeScheduler(
+            cfg.max_factors, cfg.max_rep_factors, cfg.max_geo_factors
+        )
+        self.photo_pool = _empty_pool(cfg.max_factors)
+        self.rep_pool = _empty_rep_pool(cfg.max_rep_factors, cfg.max_keypoints)
+        self.geo_pool = _empty_geo_pool(cfg.max_geo_factors, cfg.geo_npoints)
+        # payloads waiting for slot placement: work_id -> payload
+        self._rep_payloads: dict = {}
+        self._geo_payloads: dict = {}
+
+    def add_photo(self, src, dst, dst_is_frame, iters, remove_after=False,
+                  replace=False):
+        if replace and not dst_is_frame:
+            self.ns.replace_pair(self.native.PHOTO, src, dst)
+        return self.ns.add_work(self.native.PHOTO, src, dst, dst_is_frame,
+                                list(iters), remove_after)
+
+    def add_rep(self, src, dst, iters, kp0, kp1, mvalid):
+        wid = self.ns.add_work(self.native.REP, src, dst, False, [iters])
+        self._rep_payloads[wid] = (kp0, kp1, mvalid)
+        return wid
+
+    def add_geo(self, src, dst, iters, points, parent=None):
+        pid = parent if isinstance(parent, int) else 0
+        wid = self.ns.add_work(self.native.GEO, src, dst, False, [iters],
+                               parent=pid or 0)
+        self._geo_payloads[wid] = points
+        return wid
+
+    def erase_frame(self, fslot: int):
+        self.ns.erase_frame(fslot)
+
+    def bookkeeping(self, stochastic_geo_resample=None):
+        self.ns.bookkeeping()
+        for kind, pool in ((self.native.PHOTO, self.photo_pool),
+                           (self.native.REP, self.rep_pool),
+                           (self.native.GEO, self.geo_pool)):
+            src, dst, level, isf, act = self.ns.pool(kind)
+            pool.src[:] = src
+            pool.dst[:] = dst
+            if hasattr(pool, "level"):
+                pool.level[:] = level
+            if hasattr(pool, "dst_is_frame"):
+                pool.dst_is_frame[:] = isf
+            pool.active[:] = act
+        # place payloads whose works now own slots
+        for wid in list(self._rep_payloads):
+            slot = self.ns.work_slot(wid)
+            if slot >= 0:
+                kp0, kp1, mvalid = self._rep_payloads.pop(wid)
+                M = kp0.shape[0]
+                self.rep_pool.kp0[slot, :M] = kp0
+                self.rep_pool.kp1[slot, :M] = kp1
+                self.rep_pool.mvalid[slot] = False
+                self.rep_pool.mvalid[slot, :M] = mvalid
+        for wid in list(self._geo_payloads):
+            slot = self.ns.work_slot(wid)
+            if slot >= 0:
+                self.geo_pool.points[slot] = self._geo_payloads.pop(wid)
+
+    def budget(self) -> int:
+        return self.ns.budget()
+
+    def update(self, iters_done: int, converged: bool):
+        self.ns.update(iters_done, converged)
+
+    def has_work(self) -> bool:
+        return self.ns.has_work()
+
+    def tick_empty(self):
+        self.ns.update(1, False)
+
+
+def make_scheduler(cfg):
+    from .. import native
+
+    if getattr(cfg, "use_native_scheduler", False) and native.available():
+        return NativeBackend(cfg)
+    return PyScheduler(cfg)
