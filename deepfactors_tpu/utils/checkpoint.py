@@ -63,12 +63,17 @@ def save_checkpoint(path: str, system) -> None:
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(host, f)
 
+    from ..mapping.scheduler import PyScheduler
+
+    pools = {
+        "pool": m.sched.photo_pool,
+        "rep_pool": m.sched.rep_pool,
+        "geo_pool": m.sched.geo_pool,
+    }
+    if isinstance(m.sched, PyScheduler):
+        pools["work"] = m.sched.wm
     with open(os.path.join(path, "pools.pkl"), "wb") as f:
-        pickle.dump(
-            {"pool": m.pool, "rep_pool": m.rep_pool, "geo_pool": m.geo_pool,
-             "work": m.work},
-            f,
-        )
+        pickle.dump(pools, f)
 
 
 def load_checkpoint(path: str, system) -> None:
@@ -109,12 +114,22 @@ def load_checkpoint(path: str, system) -> None:
     ]
     system.loop_links = [tuple(x) for x in host["loop_links"]]
 
+    from ..mapping.scheduler import PyScheduler
+
     with open(os.path.join(path, "pools.pkl"), "rb") as f:
         pools = pickle.load(f)
-    m.pool = pools["pool"]
-    m.rep_pool = pools["rep_pool"]
-    m.geo_pool = pools["geo_pool"]
-    m.work = pools["work"]
+
+    def copy_pool(dst, src):
+        for field in dst._fields:
+            getattr(dst, field)[:] = getattr(src, field)
+
+    copy_pool(m.sched.photo_pool, pools["pool"])
+    copy_pool(m.sched.rep_pool, pools["rep_pool"])
+    copy_pool(m.sched.geo_pool, pools["geo_pool"])
+    if isinstance(m.sched, PyScheduler) and "work" in pools:
+        m.sched.wm = pools["work"]
+    # native scheduler: work-schedule state is not serialized; the restored
+    # map is consistent and new factors re-enqueue on the next keyframe
 
     # rebind tracker's keyframe tensors to the restored map
     if system.curr_kf is not None:
