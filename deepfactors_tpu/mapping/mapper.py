@@ -38,6 +38,7 @@ from ..solver import system as sysm
 from . import map_state as ms
 from . import frames as fr
 from . import factors as fct
+from . import marginal as mg
 
 Array = jax.Array
 
@@ -326,7 +327,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
 
     def gn_iteration(
         state, frames_, pool_src, pool_dst, pool_isf, pool_level, pool_active,
-        rep, geo,
+        rep, geo, marginals,
         kf_var_mask, frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
         levels_present,
     ):
@@ -370,6 +371,16 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
             gsy, gidx = geo_systems(state, geo)
             gg = sysm.assemble(D, gsy.JtJ, gsy.Jtr, gidx, geo["active"])
             gsys = sysm.GlobalSystem(gsys.H + gg.H, gsys.b + gg.b)
+
+        # marginal priors from marginalized one-way frames (mapping/marginal.py)
+        mH, mg_ = mg.prior_terms(marginals, state.pose, state.code)
+        slots = jnp.arange(K, dtype=jnp.int32)
+        midx = jnp.concatenate(
+            [slots[:, None] * 6 + jnp.arange(6),
+             Dp + slots[:, None] * CS + jnp.arange(CS)], axis=-1
+        ).astype(jnp.int32)
+        mgsys = sysm.assemble(D, mH, mg_, midx, marginals.active)
+        gsys = sysm.GlobalSystem(gsys.H + mgsys.H, gsys.b + mgsys.b)
 
         # priors (df_work.cpp:29-57): zero-code prior on every active code,
         # pose prior pinning the anchor at its bootstrap value
@@ -419,7 +430,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
     @functools.partial(jax.jit, static_argnames=("levels_present",))
     def run(
         state, frames_, pool_src, pool_dst, pool_isf, pool_level, pool_active,
-        rep, geo,
+        rep, geo, marginals,
         kf_var_mask, frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
         n_iters, levels_present,
     ):
@@ -431,8 +442,9 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
             state, frames_, i, _ = carry
             state, frames_, max_delta = gn_iteration(
                 state, frames_, pool_src, pool_dst, pool_isf, pool_level,
-                pool_active, rep, geo, kf_var_mask, frame_var_mask,
-                anchor_slot, anchor_q, anchor_t, lam, levels_present,
+                pool_active, rep, geo, marginals, kf_var_mask,
+                frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
+                levels_present,
             )
             return state, frames_, i + 1, max_delta
 
@@ -466,6 +478,7 @@ class Mapper:
         from .scheduler import make_scheduler
 
         self.sched = make_scheduler(cfg)
+        self.marginals = mg.create(cfg.max_keyframes, cfg.code_size)
         self._run_fn = _make_run_fn(cfg, cam)
         self._rng_key = jax.random.PRNGKey(42)
         # host-side bookkeeping
@@ -704,18 +717,68 @@ class Mapper:
         return [order[-1]]  # LAST
 
     def marginalize_frames(self):
-        """MarginalizeFrames (mapper.cpp:395-436). Sliding-window variant:
-        frames stop being variables; their factors are dropped. (The
-        information-preserving marginal-prior fold is future work.)"""
-        marg = np.asarray(self.frames.marginalized)
-        act = np.asarray(self.frames.active)
+        """MarginalizeFrames (mapper.cpp:395-436): fold each live frame's
+        photometric information into a marginal prior over its keyframe
+        (Schur elimination of the frame pose, mapping/marginal.py — the
+        sliding-window equivalent of ISAM2 marginalizeLeaves), then drop the
+        frame's factors and variable."""
+        marg = np.asarray(jax.device_get(self.frames.marginalized))
+        act = np.asarray(jax.device_get(self.frames.active))
         for s in range(self.cfg.max_frames):
             if act[s] and not marg[s]:
+                self._fold_frame_prior(s)
                 self.frames = self.frames._replace(
                     marginalized=self.frames.marginalized.at[s].set(True)
                 )
                 # drop any outstanding works + pool factors on this frame
                 self.sched.erase_frame(s)
+
+    def _fold_frame_prior(self, fslot: int):
+        """Linearize the frame's factor at the current estimate and fold it
+        into the keyframe's marginal prior."""
+        pool = self.sched.photo_pool
+        for i in range(self.cfg.max_factors):
+            if not (pool.active[i] and pool.dst_is_frame[i]
+                    and pool.dst[i] == fslot):
+                continue
+            kf = int(pool.src[i])
+            level = int(pool.level[i])
+            H, b = self._marginalize_fn(level)(self.state, self.frames,
+                                               kf, fslot)
+            self.marginals = mg.add_prior(
+                self.marginals, kf, H, b,
+                se3m.index(self.state.pose, kf), self.state.code[kf],
+            )
+
+    def _marginalize_fn(self, level: int):
+        """Jitted frame-marginalization at a given pyramid level."""
+        if not hasattr(self, "_marg_cache"):
+            self._marg_cache = {}
+        if level in self._marg_cache:
+            return self._marg_cache[level]
+        cfg = self.cfg
+        cams = camera_pyramid(self.cam, cfg.pyramid_levels)
+        params = ds.SfmParams(
+            huber_delta=cfg.huber_delta, avg_dpt=cfg.avg_dpt,
+            min_dpt=cfg.min_dpt, valid_border=cfg.valid_border,
+        )
+
+        @jax.jit
+        def fold(state, frames_, kf, fslot):
+            state = ms.update_depth_all(state, cfg.avg_dpt)
+            lvl = state.levels[level]
+            flv = frames_.levels[level]
+            sys, _ = ds.sfm_step(
+                se3m.index(state.pose, kf),
+                SE3(frames_.pose.q[fslot], frames_.pose.t[fslot]),
+                state.code[kf], cams[level],
+                lvl.img[kf], flv.img[fslot], lvl.dpt[kf], lvl.stdev[kf],
+                lvl.jac[kf], flv.grad[fslot], params,
+            )
+            return mg.schur_marginalize_frame(sys.JtJ, sys.Jtr, cfg.code_size)
+
+        self._marg_cache[level] = fold
+        return fold
 
     # -- the mapping step ----------------------------------------------------
 
@@ -766,7 +829,7 @@ class Mapper:
             jnp.asarray(self.pool.src), jnp.asarray(self.pool.dst),
             jnp.asarray(self.pool.dst_is_frame), jnp.asarray(self.pool.level),
             jnp.asarray(self.pool.active),
-            rep, geo,
+            rep, geo, self.marginals,
             kf_mask, fr_mask,
             jnp.asarray(anchor, jnp.int32),
             self._anchor_pose.q, self._anchor_pose.t,
@@ -801,6 +864,7 @@ class Mapper:
         from .scheduler import make_scheduler
 
         self.sched = make_scheduler(cfg)
+        self.marginals = mg.create(cfg.max_keyframes, cfg.code_size)
         self.kf_slots = []
         self.frame_slots = []
         self.kf_ids = {}

@@ -1,0 +1,99 @@
+"""Marginal priors: information-preserving frame marginalization.
+
+The reference marginalizes one-way frames out of ISAM2 with
+``marginalizeLeaves`` (mapper.cpp:395-436), which folds the frame's
+information into the remaining variables. The sliding-window equivalent here:
+when a frame is marginalized, its photometric factor is linearized once more
+at the current estimate, the frame-pose block is eliminated by Schur
+complement, and the resulting quadratic prior over the connected keyframe's
+(pose, code) — anchored at the current estimate — is accumulated into a
+per-keyframe marginal-prior store that the mapping iteration adds to the
+global system.
+
+Prior model per keyframe k (D = 6 + CS):
+    E(x) = 0.5 * r^T H r + b^T r,  r = [local(anchor_pose, pose); code - anchor_code]
+contributing H to the Hessian block and (H r + b) to the gradient.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3 as se3m
+from ..geometry.se3 import SE3
+
+Array = jax.Array
+
+
+class MarginalStore(NamedTuple):
+    H: Array         # [K, D, D]
+    b: Array         # [K, D]
+    anchor_q: Array  # [K, 4]
+    anchor_t: Array  # [K, 3]
+    anchor_c: Array  # [K, CS]
+    active: Array    # [K] bool
+
+
+def create(K: int, CS: int) -> MarginalStore:
+    D = 6 + CS
+    ident = se3m.identity((K,))
+    return MarginalStore(
+        H=jnp.zeros((K, D, D), jnp.float32),
+        b=jnp.zeros((K, D), jnp.float32),
+        anchor_q=ident.q,
+        anchor_t=ident.t,
+        anchor_c=jnp.zeros((K, CS), jnp.float32),
+        active=jnp.zeros((K,), bool),
+    )
+
+
+def schur_marginalize_frame(JtJ: Array, Jtr: Array, CS: int, damping=1e-6):
+    """Eliminate the frame-pose block from a photometric factor system.
+
+    Factor layout [pose_kf(6) | pose_frame(6) | code_kf(CS)]
+    (ops/dense_sfm.sfm_step). Returns (H_kk [6+CS, 6+CS], b_k [6+CS]) over
+    the keyframe's (pose, code)."""
+    keep = jnp.concatenate([jnp.arange(6), 12 + jnp.arange(CS)])
+    elim = 6 + jnp.arange(6)
+    Hkk = JtJ[jnp.ix_(keep, keep)]
+    Hke = JtJ[jnp.ix_(keep, elim)]
+    Hee = JtJ[jnp.ix_(elim, elim)] + damping * jnp.eye(6)
+    bk = Jtr[keep]
+    be = Jtr[elim]
+    Hee_inv = jnp.linalg.inv(Hee)
+    H_marg = Hkk - Hke @ Hee_inv @ Hke.T
+    b_marg = bk - Hke @ Hee_inv @ be
+    return H_marg, b_marg
+
+
+def add_prior(store: MarginalStore, slot, H: Array, b: Array,
+              pose: SE3, code: Array) -> MarginalStore:
+    """Accumulate a marginal prior for keyframe ``slot`` anchored at the
+    current (pose, code). If a prior already exists at a different anchor the
+    accumulation uses the standard re-anchoring approximation (valid for
+    converged windows)."""
+    return MarginalStore(
+        H=store.H.at[slot].add(H),
+        b=store.b.at[slot].add(b),
+        anchor_q=store.anchor_q.at[slot].set(pose.q),
+        anchor_t=store.anchor_t.at[slot].set(pose.t),
+        anchor_c=store.anchor_c.at[slot].set(code),
+        active=store.active.at[slot].set(True),
+    )
+
+
+def prior_terms(store: MarginalStore, poses: SE3, codes: Array):
+    """Batched prior contributions at the current estimate.
+
+    Returns (H [K, D, D], g [K, D]) where g = H r + b with
+    r = [local(anchor, pose); code - anchor_code]; inactive slots contribute
+    zero."""
+    anchors = SE3(store.anchor_q, store.anchor_t)
+    r_pose = jax.vmap(se3m.local)(anchors, poses)         # [K, 6]
+    r_code = codes - store.anchor_c                        # [K, CS]
+    r = jnp.concatenate([r_pose, r_code], axis=-1)         # [K, D]
+    g = jnp.einsum("kij,kj->ki", store.H, r) + store.b
+    w = store.active.astype(jnp.float32)
+    return store.H * w[:, None, None], g * w[:, None]

@@ -125,3 +125,27 @@ def test_reset(cfg):
     m.reset()
     assert int(np.sum(np.asarray(m.state.active))) == 0
     assert m.work.empty()
+
+
+def test_frame_marginalization_folds_prior(cfg):
+    """Marginalizing a one-way frame must leave a marginal prior on its
+    keyframe (information preserved, not dropped)."""
+    d = np.array([0.01, 0.0, 0.0, 0.0, 0.0, 0.0], dtype=np.float32)
+    img0, img1, cam, _ = make_scene(d)
+    m = Mapper(cfg, cam, decoder=None)
+    m.init_two_frames(img0, img0)
+    kf = m.kf_slots[-1]
+    m.enqueue_frame(img1, se3m.identity(), kf_slot=kf)
+    while m.has_work():
+        m.mapping_step()
+    assert not bool(m.marginals.active[kf])
+    # next enqueue marginalizes the live frame -> prior appears on kf
+    m.enqueue_keyframe(img1, se3m.identity())
+    assert bool(m.marginals.active[kf])
+    H = np.asarray(m.marginals.H[kf])
+    assert np.all(np.isfinite(H))
+    assert np.trace(H) > 0
+    # and the system still optimizes cleanly with the prior in place
+    while m.has_work():
+        m.mapping_step()
+    assert np.all(np.isfinite(np.asarray(m.state.pose.t)))
