@@ -249,23 +249,22 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
     )
 
     def frame_photo_batch(state, frames_, src, dst, level):
-        """Photometric factors whose target is a one-way frame."""
+        """Photometric factors whose target is a one-way frame. Pool entries
+        targeting keyframes carry dst >= F — clamp before the one-hot gather
+        (an out-of-range one-hot row is all-zero and would poison quaternion
+        math with NaNs); those entries are masked out at assembly."""
         lvl = state.levels[level]
         flv = frames_.levels[level]
+        dstc = jnp.clip(dst, 0, F - 1)
         pose0 = ms.poses_of(state, src)
-        pose1 = SE3(frames_.pose.q[dst], frames_.pose.t[dst])
-
-        def one(p0q, p0t, p1q, p1t, c0, img0, img1, dpt0, std0, jac0, grad1):
-            s, _ = ds.sfm_step(
-                SE3(p0q, p0t), SE3(p1q, p1t), c0, cams[level],
-                img0, img1, dpt0, std0, jac0, grad1, params,
-            )
-            return s
-
-        return jax.vmap(one)(
-            pose0.q, pose0.t, pose1.q, pose1.t, state.code[src],
-            lvl.img[src], flv.img[dst], lvl.dpt[src], lvl.stdev[src],
-            lvl.jac[src], flv.grad[dst],
+        pose1 = SE3(fct.take_rows(frames_.pose.q, dstc),
+                    fct.take_rows(frames_.pose.t, dstc))
+        return ds.sfm_step_batch(
+            pose0, pose1, state.code[src], cams[level],
+            fct.take_rows(lvl.img, src), fct.take_rows(flv.img, dstc),
+            fct.take_rows(lvl.dpt, src), fct.take_rows(lvl.stdev, src),
+            fct.take_rows(lvl.jac, src), fct.take_rows(flv.grad, dstc),
+            params,
         )
 
     def rep_systems(state, rep):
@@ -329,7 +328,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         state, frames_, pool_src, pool_dst, pool_isf, pool_level, pool_active,
         rep, geo, marginals,
         kf_var_mask, frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
-        levels_present,
+        levels_present, use_frames,
     ):
         # Relinearization point: depth from current codes
         # (PhotometricFactor::UpdateDepthMaps, photometric_factor.cpp:332-341)
@@ -346,7 +345,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
             idx_kk = sysm.factor_slot_indices(pool_src, pool_dst, K, CS)
             all_H.append(batch.JtJ); all_b.append(batch.Jtr)
             all_idx.append(idx_kk); all_act.append(kk)
-            if F > 0:
+            if F > 0 and use_frames:
                 fb = frame_photo_batch(state, frames_, pool_src, pool_dst, l)
                 pose1_idx = Dp + Dc + pool_dst[:, None] * 6 + jnp.arange(6)
                 pose0_idx = pool_src[:, None] * 6 + jnp.arange(6)
@@ -427,12 +426,13 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         max_delta = jnp.max(jnp.abs(delta * vmask.astype(delta.dtype)))
         return state, frames_, max_delta
 
-    @functools.partial(jax.jit, static_argnames=("levels_present",))
+    @functools.partial(jax.jit, static_argnames=("levels_present",
+                                                  "use_frames"))
     def run(
         state, frames_, pool_src, pool_dst, pool_isf, pool_level, pool_active,
         rep, geo, marginals,
         kf_var_mask, frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
-        n_iters, levels_present,
+        n_iters, levels_present, use_frames,
     ):
         def cond(carry):
             state, frames_, i, delta = carry
@@ -444,7 +444,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
                 state, frames_, pool_src, pool_dst, pool_isf, pool_level,
                 pool_active, rep, geo, marginals, kf_var_mask,
                 frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
-                levels_present,
+                levels_present, use_frames,
             )
             return state, frames_, i + 1, max_delta
 
@@ -835,6 +835,7 @@ class Mapper:
             self._anchor_pose.q, self._anchor_pose.t,
             jnp.asarray(self.cfg.lm_lambda, jnp.float32),
             jnp.asarray(budget, jnp.int32), levels_present,
+            bool(np.any(self.pool.active & self.pool.dst_is_frame)),
         )
         iters_done_f, last_delta = jax.device_get(stats)
         iters_done = max(1, int(iters_done_f))
