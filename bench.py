@@ -67,11 +67,11 @@ def main():
         m.state, m.frames,
         jnp.asarray(m.pool.src), jnp.asarray(m.pool.dst),
         jnp.asarray(m.pool.dst_is_frame), jnp.asarray(m.pool.level),
-        jnp.asarray(m.pool.active), rep, geo, kf_mask, fr_mask,
+        jnp.asarray(m.pool.active), rep, geo, m.marginals, kf_mask, fr_mask,
         jnp.asarray(0, jnp.int32),
         se3m.identity().q, se3m.identity().t,
         jnp.asarray(cfg.lm_lambda, jnp.float32),
-        jnp.asarray(n, jnp.int32), (0,),
+        jnp.asarray(n, jnp.int32), (0,), False,
     )
     # warmup/compile
     out = m._run_fn(*args(2))
