@@ -44,6 +44,35 @@ def take_rows(arr: Array, idx: Array) -> Array:
     return out.reshape((idx.shape[0],) + arr.shape[1:])
 
 
+def _fused_ok(H: int, W: int) -> bool:
+    return ds.use_pallas_warp() and H % 8 == 0 and W % min(128, W) == 0
+
+
+def photometric_gram_pools(
+    pose0, pose1, code0, src, dst, cam_level, params,
+    img0_pool, dpt_pool, jacT_pool, img1_pool, gx1_pool, gy1_pool,
+) -> FactorBatch:
+    """Fused-kernel photometric batch straight from pooled keyframe tensors.
+
+    One pallas_call linearizes every factor (warp + Jacobians + Gram
+    reduction; ops/pallas/sfm_kernel.py) with src/dst selecting pool rows at
+    block granularity — nothing per-factor is materialized in HBM."""
+    from ..geometry import se3 as se3m
+    from ..ops.pallas import sfm_kernel as sk
+
+    CS = jacT_pool.shape[1]
+    pose_10, j_pose1, j_pose0 = jax.vmap(se3m.relative_pose_jacobians)(
+        pose1, pose0
+    )
+    kp = sk.make_sfm_params(pose_10, cam_level, params.valid_border,
+                            params.min_dpt, params.huber_delta,
+                            params.avg_dpt)
+    G = sk.sfm_gram_batch(kp, src, dst, img0_pool, dpt_pool, jacT_pool,
+                          img1_pool, gx1_pool, gy1_pool)
+    JtJ, Jtr, res, inl = sk.system_from_gram(G, j_pose0, j_pose1, CS)
+    return FactorBatch(JtJ, Jtr, res, inl)
+
+
 def photometric_batch(
     state: ms.MapState,
     src: Array,    # [P] source keyframe slots (provide depth/code)
@@ -58,11 +87,20 @@ def photometric_batch(
     pose1 = ms.poses_of(state, dst)
     code0 = state.code[src]
 
+    H, W = lvl.img.shape[1:]
+    if _fused_ok(H, W):
+        return photometric_gram_pools(
+            pose0, pose1, code0, src, dst, cam_level, params,
+            lvl.img, lvl.dpt, lvl.jac, lvl.img,
+            lvl.grad[..., 0], lvl.grad[..., 1],
+        )
+
     sys = ds.sfm_step_batch(
         pose0, pose1, code0, cam_level,
         take_rows(lvl.img, src), take_rows(lvl.img, dst),
         take_rows(lvl.dpt, src), take_rows(lvl.stdev, src),
-        take_rows(lvl.jac, src), take_rows(lvl.grad, dst),
+        jnp.transpose(take_rows(lvl.jac, src), (0, 2, 3, 1)),
+        take_rows(lvl.grad, dst),
         params,
     )
     return FactorBatch(sys.JtJ, sys.Jtr, sys.residual, sys.inliers)

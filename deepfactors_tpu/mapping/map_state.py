@@ -28,7 +28,10 @@ class LevelData(NamedTuple):
     img: Array    # [K, H, W]
     grad: Array   # [K, H, W, 2]
     prx0: Array   # [K, H, W] zero-code proximity (pyr_prx_orig)
-    jac: Array    # [K, H, W, CS] code jacobian (pyr_jac)
+    # code jacobian (pyr_jac), stored FEATURE-MAJOR [K, CS, H, W]: the fused
+    # SfM kernel reads (CS, 8, 128) blocks directly and the [N, CS] layout
+    # would pad CS to 128 lanes in every kernel/matmul touching it
+    jac: Array    # [K, CS, H, W]
     stdev: Array  # [K, H, W] log-b uncertainty
     dpt: Array    # [K, H, W] materialized depth (pyr_dpt)
     vld: Array    # [K, H, W] validity (pyr_vld)
@@ -65,7 +68,7 @@ def create(K: int, CS: int, H: int, W: int, num_levels: int, max_links: int,
                 img=jnp.zeros((K, h, w), jnp.float32),
                 grad=jnp.zeros((K, h, w, 2), jnp.float32),
                 prx0=jnp.zeros((K, h, w), jnp.float32),
-                jac=jnp.zeros((K, h, w, CS), jnp.float32),
+                jac=jnp.zeros((K, CS, h, w), jnp.float32),
                 stdev=jnp.zeros((K, h, w), jnp.float32),
                 dpt=jnp.ones((K, h, w), jnp.float32),
                 vld=jnp.zeros((K, h, w), jnp.float32),
@@ -120,7 +123,7 @@ def add_keyframe(
                 img=lvl.img.at[slot].set(img_pyr[l]),
                 grad=lvl.grad.at[slot].set(grad_pyr[l]),
                 prx0=lvl.prx0.at[slot].set(prx0_pyr[l]),
-                jac=lvl.jac.at[slot].set(jac_pyr[l]),
+                jac=lvl.jac.at[slot].set(jnp.transpose(jac_pyr[l], (2, 0, 1))),
                 stdev=lvl.stdev.at[slot].set(stdev_pyr[l]),
                 dpt=lvl.dpt.at[slot].set(dpt),
                 vld=lvl.vld.at[slot].set(jnp.ones_like(dpt)),
@@ -154,7 +157,7 @@ def update_depth_all(state: MapState, avg_dpt: float) -> MapState:
     new_levels = []
     for lvl in state.levels:
         prx = lvl.prx0 + jnp.einsum(
-            "khwc,kc->khw", lvl.jac, state.code, preferred_element_type=jnp.float32
+            "kchw,kc->khw", lvl.jac, state.code, preferred_element_type=jnp.float32
         )
         # clamp: keeps depth finite on empty slots (prx0=0) so one-hot
         # pool gathers (factors.take_rows) stay NaN-free

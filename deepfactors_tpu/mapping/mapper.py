@@ -259,11 +259,19 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         pose0 = ms.poses_of(state, src)
         pose1 = SE3(fct.take_rows(frames_.pose.q, dstc),
                     fct.take_rows(frames_.pose.t, dstc))
+        H, W = lvl.img.shape[1:]
+        if fct._fused_ok(H, W):
+            return fct.photometric_gram_pools(
+                pose0, pose1, state.code[src], src, dstc, cams[level],
+                params, lvl.img, lvl.dpt, lvl.jac,
+                flv.img, flv.grad[..., 0], flv.grad[..., 1],
+            )
         return ds.sfm_step_batch(
             pose0, pose1, state.code[src], cams[level],
             fct.take_rows(lvl.img, src), fct.take_rows(flv.img, dstc),
             fct.take_rows(lvl.dpt, src), fct.take_rows(lvl.stdev, src),
-            fct.take_rows(lvl.jac, src), fct.take_rows(flv.grad, dstc),
+            jnp.transpose(fct.take_rows(lvl.jac, src), (0, 2, 3, 1)),
+            fct.take_rows(flv.grad, dstc),
             params,
         )
 
@@ -773,7 +781,8 @@ class Mapper:
                 SE3(frames_.pose.q[fslot], frames_.pose.t[fslot]),
                 state.code[kf], cams[level],
                 lvl.img[kf], flv.img[fslot], lvl.dpt[kf], lvl.stdev[kf],
-                lvl.jac[kf], flv.grad[fslot], params,
+                jnp.transpose(lvl.jac[kf], (1, 2, 0)), flv.grad[fslot],
+                params,
             )
             return mg.schur_marginalize_frame(sys.JtJ, sys.Jtr, cfg.code_size)
 

@@ -1,0 +1,386 @@
+"""Fused Pallas TPU kernel: the full photometric-SfM linearization.
+
+One kernel pass per factor computes everything the reference's SfmAligner
+step kernel does (sources/cuda/cu_sfmaligner.cpp:40-70, per-pixel math
+sources/common/algorithm/dense_sfm.h:124-201), PLUS the gather of per-factor
+keyframe data that the XLA path had to materialize:
+
+  - correspondence (FindCorrespondence, warping.h:204-241) in-register from
+    per-factor pose/camera scalars,
+  - band-gathered bilinear sampling of img1 / grad1 at the warped coords
+    (see ops/pallas/warp_kernel.py for the band strategy),
+  - the gradient-contracted warp Jacobian rows A [6] and the prox-chain
+    scalar err_J_prx per pixel,
+  - the Huber-weighted row matrix B = [A(6) | jac-code rows(CS) | r | valid]
+    and its Gram matrix G = B·Bᵀ accumulated on the MXU per 8x128 tile.
+
+Keyframe data is gathered at BLOCK granularity via scalar-prefetch index
+maps (src[p] / dst[p] select pool rows), so nothing per-factor is ever
+materialized in HBM: per factor the kernel reads its keyframe's jacobian
+pyramid level once (the unavoidable traffic) plus three target planes.
+
+The returned G [P, R, R] (R = 6+CS+2) contains the factor's GN system in
+"B-space"; `system_from_gram` applies the relative-pose chain rule
+(J_pose = -j_poseᵀ·A, se3.relative_pose_jacobians) to produce the reference
+44-dim [pose0|pose1|code] JtJ/Jtr blocks (photometric_factor.cpp:135-161).
+
+Weight convention matches ops.dense_sfm._masked_system_T: rows and residual
+are both scaled by w·valid, so JtJ/Jtr/residual carry w².
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...geometry import se3 as se3m
+
+Array = jax.Array
+
+TILE_H = 8
+TILE_W = 128
+
+# params vector layout (per factor)
+PARAM_DIM = 24
+_R0, _T0, _FX, _FY, _U0, _V0 = 0, 9, 12, 13, 14, 15
+_BORDER, _MINDPT, _HUBER, _AVGDPT = 16, 17, 18, 19
+
+
+def make_sfm_params(pose_10, cam, border, min_dpt, huber_delta, avg_dpt):
+    """Pack per-factor scalars: R(9) t(3) fx fy u0 v0 border min_dpt
+    huber avg_dpt (pad to PARAM_DIM)."""
+    R = se3m.quat_to_matrix(pose_10.q)  # [P, 3, 3]
+    Pn = R.shape[0]
+    const = jnp.broadcast_to(
+        jnp.stack([
+            cam.fx, cam.fy, cam.u0, cam.v0,
+            jnp.asarray(border, jnp.float32),
+            jnp.asarray(min_dpt, jnp.float32),
+            jnp.asarray(huber_delta, jnp.float32),
+            jnp.asarray(avg_dpt, jnp.float32),
+        ]),
+        (Pn, 8),
+    )
+    pad = jnp.zeros((Pn, PARAM_DIM - 9 - 3 - 8), jnp.float32)
+    return jnp.concatenate([R.reshape(Pn, 9), pose_10.t, const, pad], axis=-1)
+
+
+def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
+                       src_ref, dst_ref, p_ref,
+                       img0_ref, dpt_ref, jac_ref,
+                       img1_ref, gx1_ref, gy1_ref,
+                       g_ref, acc_refs):
+    """Grid (P, H/8, W/tw). Accumulates G = B·Bᵀ into g_ref [R, R]."""
+    R_ROWS = 6 + CS + 2
+    pp = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 1).astype(
+        jnp.float32) + (j * tw).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0).astype(
+        jnp.float32) + (i * TILE_H).astype(jnp.float32)
+
+    R00, R01, R02 = p_ref[pp, 0], p_ref[pp, 1], p_ref[pp, 2]
+    R10, R11, R12 = p_ref[pp, 3], p_ref[pp, 4], p_ref[pp, 5]
+    R20, R21, R22 = p_ref[pp, 6], p_ref[pp, 7], p_ref[pp, 8]
+    tx, ty, tz = p_ref[pp, 9], p_ref[pp, 10], p_ref[pp, 11]
+    fx, fy = p_ref[pp, _FX], p_ref[pp, _FY]
+    u0, v0 = p_ref[pp, _U0], p_ref[pp, _V0]
+    border, min_dpt = p_ref[pp, _BORDER], p_ref[pp, _MINDPT]
+    huber_delta, avg_dpt = p_ref[pp, _HUBER], p_ref[pp, _AVGDPT]
+
+    # ---- correspondence (FindCorrespondence, warping.h:204-241) ----
+    dpt = dpt_ref[0]
+    u = (xs - u0) / fx
+    v = (ys - v0) / fy
+    ptx = u * dpt
+    pty = v * dpt
+    tptx = R00 * ptx + R01 * pty + R02 * dpt + tx
+    tpty = R10 * ptx + R11 * pty + R12 * dpt + ty
+    tptz = R20 * ptx + R21 * pty + R22 * dpt + tz
+    zsafe = jnp.where(jnp.abs(tptz) > 1e-12, tptz, 1e-12)
+    x1 = fx * tptx / zsafe + u0
+    y1 = fy * tpty / zsafe + v0
+    valid = (
+        (tptz > min_dpt)
+        & (x1 >= border) & (x1 < W - border)
+        & (y1 >= border) & (y1 < H - border)
+    )
+    # sanitize projective terms on invalid pixels so 0-weighted rows stay
+    # finite (0*inf would be NaN). Invalid pixels fall back to their own
+    # coordinates — NOT 0 — so they don't drag the gather band away from
+    # the tile (the band base is min(y0) over the whole tile).
+    x1 = jnp.where(valid, x1, xs)
+    y1 = jnp.where(valid, y1, ys)
+    iz = jnp.where(valid, 1.0 / zsafe, 0.0)
+
+    # ---- band-gathered bilinear sampling of (img1, gx1, gy1) ----
+    x0f = jnp.floor(x1)
+    y0f = jnp.floor(y1)
+    wx = jnp.where(x0f >= W - 1, 0.0, x1 - x0f)
+    wy = jnp.where(y0f >= H - 1, 0.0, y1 - y0f)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    b0 = jnp.clip((jnp.min(y0) // TILE_H) * TILE_H, 0, H - band)
+    b0 = pl.multiple_of(b0, TILE_H)
+    rel = y0 - b0
+    cover = (rel >= 0) & (rel <= band - 2)
+    rmin = jnp.min(rel)
+    rmax = jnp.max(rel)
+
+    n_xb = W // tw
+    xl = [x0 - xb * tw for xb in range(n_xb)]
+    inb = [(q >= 0) & (q < tw) for q in xl]
+    xlc = [jnp.clip(q, 0, tw - 1) for q in xl]
+
+    # Predicate at CHUNK granularity only: per-row @pl.when predication costs
+    # ~100 ns of scalar-branch overhead each (27 branches ≈ 3 µs/tile,
+    # measured 2.8x slower end-to-end than an unconditional sweep); rows
+    # within an active chunk run unconditionally on the VPU.
+    chan_refs = (img1_ref, gx1_ref, gy1_ref)
+    for c in range(3):
+        acc_refs[c][:] = jnp.zeros((TILE_H, tw), jnp.float32)
+
+    for k in range(band // TILE_H):
+        lo, hi = k * TILE_H, k * TILE_H + TILE_H - 1
+
+        @pl.when((lo <= rmax + 1) & (hi >= rmin))
+        def _(k=k):
+            for c in range(3):
+                chunk = chan_refs[c][0, pl.ds(b0 + k * TILE_H, TILE_H), :]
+                chunk_r = pltpu.roll(chunk, W - 1, 1)
+                acc = acc_refs[c][:]
+                for r in range(TILE_H):
+                    d = k * TILE_H + r
+                    w_row = jnp.where(rel == d, 1.0 - wy, 0.0)
+                    if d > 0:
+                        w_row = w_row + jnp.where(rel == d - 1, wy, 0.0)
+                    for xb in range(n_xb):
+                        segA = jnp.broadcast_to(
+                            chunk[r:r + 1, xb * tw:(xb + 1) * tw],
+                            (TILE_H, tw),
+                        )
+                        segB = jnp.broadcast_to(
+                            chunk_r[r:r + 1, xb * tw:(xb + 1) * tw],
+                            (TILE_H, tw),
+                        )
+                        gA = jnp.take_along_axis(segA, xlc[xb], axis=1)
+                        gB = jnp.take_along_axis(segB, xlc[xb], axis=1)
+                        val = (1.0 - wx) * gA + wx * gB
+                        acc = acc + jnp.where(inb[xb], w_row * val, 0.0)
+                acc_refs[c][:] = acc
+
+    i1 = acc_refs[0][:]
+    gx = acc_refs[1][:]
+    gy = acc_refs[2][:]
+    valid = valid & cover
+
+    # ---- per-pixel Jacobian rows (dense_sfm.h:124-201, feature-major) ----
+    # projection jacobian rows (pinhole_camera_impl.h:91-97)
+    d00 = fx * iz
+    d02 = -fx * tptx * iz * iz
+    d11 = fy * iz
+    d12 = -fy * tpty * iz * iz
+    gd0 = gx * d00
+    gd1 = gy * d11
+    gd2 = gx * d02 + gy * d12
+
+    # A = grad · d pix1 / d pose10 with dXdT = [I | -hat(tpt - t)]
+    vx = tptx - tx
+    vy = tpty - ty
+    vz = tptz - tz
+    A0 = gd0
+    A1 = gd1
+    A2 = gd2
+    A3 = -gd1 * vz + gd2 * vy
+    A4 = gd0 * vz - gd2 * vx
+    A5 = -gd0 * vy + gd1 * vx
+
+    # depth chain (warping.h:259-291): err_J_prx = -(grad·dCam·R·ray)·dDpt/dPrx
+    m0 = R00 * u + R01 * v + R02
+    m1 = R10 * u + R11 * v + R12
+    m2 = R20 * u + R21 * v + R22
+    pjd0 = d00 * m0 + d02 * m2
+    pjd1 = d11 * m1 + d12 * m2
+    # dpt = avg/prx - avg, prx = avg/(avg+dpt) => d dpt/d prx = -(avg+dpt)²/avg
+    # (warping.h:44-50, geometry.warping.depth_jacobian_prx)
+    ad = avg_dpt + dpt
+    dpt_J_prx = -(ad * ad) / avg_dpt
+    err_J_prx = -(gx * pjd0 + gy * pjd1) * dpt_J_prx
+
+    # residual + Huber weight (m_estimators.h:50-56)
+    r = img0_ref[0] - i1
+    aa = jnp.abs(r)
+    hub = jnp.sqrt(huber_delta * (2.0 * aa - huber_delta)) / jnp.maximum(
+        aa, 1e-12)
+    w = jnp.where(aa <= huber_delta, 1.0, hub)
+    validf = valid.astype(jnp.float32)
+    wv = jnp.where(valid, w, 0.0)
+
+    rows = [wv * A0, wv * A1, wv * A2, wv * A3, wv * A4, wv * A5]
+    s = wv * err_J_prx
+    for c in range(CS):
+        rows.append(s * jac_ref[0, c])
+    rows.append(wv * r)
+    rows.append(validf)
+
+    def gram(B):
+        """B·Bᵀ on the MXU. Mosaic quantizes f32 operands to bf16 (~0.35%
+        relative on JtJ) but the result is the EXACT Gram matrix of the
+        quantized rows — symmetric PSD by construction, which is what the
+        downstream Cholesky needs; the congruence transform outside the
+        kernel (system_from_gram) must then run at HIGHEST precision."""
+        dims = (((1,), (1,)), ((), ()))
+        return jax.lax.dot_general(B, B, dims,
+                                   preferred_element_type=jnp.float32)
+
+    Bs = jnp.stack(rows)  # [R, TILE_H, tw]
+    if tw == TILE_W:
+        # full lane tile: merge (8, 128) -> 1024 lanes, one MXU dot per tile
+        g_ref[:] += gram(Bs.reshape(R_ROWS, TILE_H * tw))
+    else:
+        # partial lane tile (coarse pyramid levels): Mosaic cannot shape-cast
+        # (8, tw<128) into lanes — contract per sublane row instead
+        acc = jnp.zeros((R_ROWS, R_ROWS), jnp.float32)
+        for r in range(TILE_H):
+            acc += gram(Bs[:, r, :])
+        g_ref[:] += acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("band", "interpret"))
+def sfm_gram_batch(
+    params: Array,     # [P, PARAM_DIM] per-factor scalars (make_sfm_params)
+    src: Array,        # [P] int32 source keyframe slot
+    dst: Array,        # [P] int32 target slot (into the img1 pools)
+    img0_pool: Array,  # [K, H, W]
+    dpt_pool: Array,   # [K, H, W] materialized source depth
+    jacT_pool: Array,  # [K, CS, H, W] feature-major code jacobian
+    img1_pool: Array,  # [K1, H, W]
+    gx1_pool: Array,   # [K1, H, W]
+    gy1_pool: Array,   # [K1, H, W]
+    band: int = 24,
+    interpret: bool = False,
+) -> Array:
+    """Fused SfM linearization: returns the Gram stack G [P, R, R],
+    R = 6 + CS + 2 (rows: A(6) | code(CS) | w·r | valid)."""
+    P = src.shape[0]
+    K, H, W = img0_pool.shape
+    CS = jacT_pool.shape[1]
+    R_ROWS = 6 + CS + 2
+    tw = min(TILE_W, W)
+    grid = (P, H // TILE_H, W // tw)
+
+    def tile_src(p, i, j, src_ref, dst_ref):
+        return (src_ref[p], i, j)
+
+    def jac_src(p, i, j, src_ref, dst_ref):
+        return (src_ref[p], 0, i, j)
+
+    def plane_dst(p, i, j, src_ref, dst_ref):
+        return (dst_ref[p], 0, 0)
+
+    def smem_params(p, i, j, src_ref, dst_ref):
+        return (0, 0)
+
+    kernel = functools.partial(_sfm_system_kernel, CS, band, H, W, tw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P, PARAM_DIM), smem_params,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CS, TILE_H, tw),
+                         lambda p, i, j, s, d: (s[p], 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R_ROWS, R_ROWS),
+                               lambda p, i, j, s, d: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[[pltpu.VMEM((TILE_H, tw), jnp.float32)] * 3],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, R_ROWS, R_ROWS), jnp.float32),
+        interpret=interpret,
+    )(src, dst, params, img0_pool, dpt_pool, jacT_pool,
+      img1_pool, gx1_pool, gy1_pool)
+    return out
+
+
+def system_from_gram(G: Array, j_pose0: Array, j_pose1: Array, CS: int):
+    """Expand Gram stacks into reference-layout GN systems.
+
+    G [P, R, R] with R = 6+CS+2. Returns (JtJ [P, 12+CS, 12+CS],
+    Jtr [P, 12+CS], residual [P], inliers [P]) in the reference row layout
+    [dErr/dpose0 | dErr/dpose1 | dErr/dcode0] (photometric_factor.cpp:135-161)
+    via J = M·B with M = [[-j_pose0ᵀ·sel_A], [-j_pose1ᵀ·sel_A], [sel_code]].
+    """
+    P = G.shape[0]
+    DB = 6 + CS
+    D = 12 + CS
+    G38 = G[:, :DB, :DB]
+    # exact symmetry guards the downstream Cholesky against MXU rounding
+    G38 = 0.5 * (G38 + jnp.swapaxes(G38, -1, -2))
+    g = G[:, :DB, DB]
+    residual = G[:, DB, DB]
+    inliers = G[:, DB + 1, DB + 1]
+
+    # Exploit the block structure of M = [[-j_pose0ᵀ, 0], [-j_pose1ᵀ, 0],
+    # [0, I]] instead of a dense congruence: only 6x6 / 6xCS batched matmuls
+    # remain. HIGHEST precision + explicit symmetrization of the pose
+    # blocks: the default bf16 matmul rounds the transform asymmetrically
+    # (measured ~15 absolute on 1e5-scale entries), which makes the damped
+    # GN system indefinite and the downstream Cholesky NaN.
+    hp = jax.lax.Precision.HIGHEST
+    T0 = jnp.swapaxes(j_pose0, -1, -2)  # [P, 6, 6]
+    T1 = jnp.swapaxes(j_pose1, -1, -2)
+    GA = G[:, :6, :6]
+    GAc = G[:, :6, 6:DB]
+    Gcc = G[:, 6:DB, 6:DB]
+    gA = g[:, :6]
+    gc = g[:, 6:]
+
+    def mm(a, b):
+        return jnp.einsum("pij,pjk->pik", a, b,
+                          preferred_element_type=jnp.float32, precision=hp)
+
+    GA = 0.5 * (GA + jnp.swapaxes(GA, -1, -2))
+    T0GA = mm(T0, GA)
+    T1GA = mm(T1, GA)
+    B00 = mm(T0GA, jnp.swapaxes(T0, -1, -2))
+    B01 = mm(T0GA, jnp.swapaxes(T1, -1, -2))
+    B11 = mm(T1GA, jnp.swapaxes(T1, -1, -2))
+    B00 = 0.5 * (B00 + jnp.swapaxes(B00, -1, -2))
+    B11 = 0.5 * (B11 + jnp.swapaxes(B11, -1, -2))
+    B0c = -mm(T0, GAc)
+    B1c = -mm(T1, GAc)
+    Gcc = 0.5 * (Gcc + jnp.swapaxes(Gcc, -1, -2))
+
+    top = jnp.concatenate([B00, B01, B0c], axis=-1)
+    mid = jnp.concatenate([jnp.swapaxes(B01, -1, -2), B11, B1c], axis=-1)
+    bot = jnp.concatenate(
+        [jnp.swapaxes(B0c, -1, -2), jnp.swapaxes(B1c, -1, -2), Gcc], axis=-1
+    )
+    JtJ = jnp.concatenate([top, mid, bot], axis=-2)
+
+    j0 = -jnp.einsum("pij,pj->pi", T0, gA,
+                     preferred_element_type=jnp.float32, precision=hp)
+    j1 = -jnp.einsum("pij,pj->pi", T1, gA,
+                     preferred_element_type=jnp.float32, precision=hp)
+    Jtr = jnp.concatenate([j0, j1, gc], axis=-1)
+    return JtJ, Jtr, residual, inliers

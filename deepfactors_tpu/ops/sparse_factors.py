@@ -34,11 +34,14 @@ Array = jax.Array
 
 def _sample_code_data(prx0: Array, jac: Array, pix: Array):
     """Nearest-pixel prox/jacobian lookup at float coords pix [..., 2]
-    (the reference indexes with int cast, reprojection_factor.cpp:195-198)."""
+    (the reference indexes with int cast, reprojection_factor.cpp:195-198).
+
+    ``jac`` is feature-major [CS, H, W] (map_state.LevelData.jac layout);
+    returns (prx [M], jac [M, CS])."""
     H, W = prx0.shape
     xi = jnp.clip(pix[..., 0].astype(jnp.int32), 0, W - 1)
     yi = jnp.clip(pix[..., 1].astype(jnp.int32), 0, H - 1)
-    return prx0[yi, xi], jac[yi, xi]
+    return prx0[yi, xi], jnp.moveaxis(jac[:, yi, xi], 0, -1)
 
 
 def reprojection_system(
@@ -50,14 +53,14 @@ def reprojection_system(
     kp1: Array,          # [M, 2] target keypoints (matched)
     match_valid: Array,  # [M]
     prx0_img: Array,     # [H, W] zero-code prox (level 0)
-    jac_img: Array,      # [H, W, CS]
+    jac_img: Array,      # [CS, H, W] feature-major
     huber_delta: float = 0.1,
     sigma: float = 1.0,
     avg_dpt: float = 2.0,
 ) -> SystemResult:
     """GN system [12+CS] from keypoint reprojection. J rows stacked per
     residual component (2 per match)."""
-    CS = jac_img.shape[-1]
+    CS = jac_img.shape[0]
     pose_10, j_pose1, j_pose0 = se3m.relative_pose_jacobians(pose1, pose0)
 
     prx0_kp, jac_kp = _sample_code_data(prx0_img, jac_img, kp0)  # [M], [M, CS]
@@ -113,15 +116,15 @@ def geometric_system(
     cam: PinholeCamera,
     points: Array,       # [N, 2] sampled pixels in keyframe 0
     prx0_img0: Array,    # [H, W] kf0 zero-code prox
-    jac_img0: Array,     # [H, W, CS]
+    jac_img0: Array,     # [CS, H, W] feature-major
     prx0_img1: Array,    # [H, W] kf1
-    jac_img1: Array,
+    jac_img1: Array,     # [CS, H, W] feature-major
     dpt1_grad: Array,    # [H, W, 2] gradient of kf1 depth (dpt_grad)
     huber_delta: float = 0.1,
     avg_dpt: float = 2.0,
 ) -> SystemResult:
     """GN system [12+2CS] of depth consistency at sampled points."""
-    CS = jac_img0.shape[-1]
+    CS = jac_img0.shape[0]
     pose_10, j_pose1, j_pose0 = se3m.relative_pose_jacobians(pose1, pose0)
 
     prx0_p, jac0_p = _sample_code_data(prx0_img0, jac_img0, points)

@@ -1,0 +1,117 @@
+"""Fused SfM system kernel (ops/pallas/sfm_kernel.py) vs the XLA reference
+path — kernel-vs-reference-loop equivalence, tier (2) of the reference test
+strategy (mirrors ut_sfmaligner.cpp:235-327 FullJacobianCompareWithCpu)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepfactors_tpu.geometry import se3 as se3m
+from deepfactors_tpu.geometry.se3 import SE3
+from deepfactors_tpu.geometry.camera import PinholeCamera
+from deepfactors_tpu.ops import dense_sfm as ds
+from deepfactors_tpu.ops.pallas import sfm_kernel as sk
+
+
+def make_problem(H, W, CS, K, P, seed=0):
+    rng = np.random.RandomState(seed)
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    cam = PinholeCamera.create(fx=60.0, fy=60.0, u0=W / 2, v0=H / 2,
+                               width=W, height=H)
+    imgs = np.stack([
+        0.5 + 0.3 * np.sin(xs / 7 + k) * np.cos(ys / 5 + 0.3 * k)
+        for k in range(K)]).astype(np.float32)
+    grads = np.stack([np.stack(np.gradient(im)[::-1], axis=-1)
+                      for im in imgs])
+    prx0 = 0.45 + 0.1 * rng.rand(K, H, W).astype(np.float32)
+    jac = (0.02 * rng.standard_normal((K, H, W, CS))).astype(np.float32)
+    codes = (0.1 * rng.standard_normal((K, CS))).astype(np.float32)
+    prx = prx0 + np.einsum("khwc,kc->khw", jac, codes)
+    dpt = 2.0 / prx - 2.0
+    qs, ts = [], []
+    for k in range(K):
+        w = 0.02 * rng.standard_normal(3)
+        q = np.array([1.0, w[0] / 2, w[1] / 2, w[2] / 2])
+        q /= np.linalg.norm(q)
+        qs.append(q)
+        ts.append(0.05 * rng.standard_normal(3))
+    poses = SE3(jnp.asarray(np.stack(qs), jnp.float32),
+                jnp.asarray(np.stack(ts), jnp.float32))
+    src = jnp.asarray(rng.randint(0, K, P), jnp.int32)
+    dst = jnp.asarray((np.asarray(src) + 1 + rng.randint(0, K - 1, P)) % K,
+                      jnp.int32)
+    return cam, imgs, grads, jac, codes, dpt, poses, src, dst
+
+
+@pytest.mark.parametrize("H,W", [(48, 128), (48, 64)])
+def test_fused_gram_matches_reference(H, W):
+    CS, K, P = 8, 4, 6
+    cam, imgs, grads, jac, codes, dpt, poses, src, dst = make_problem(
+        H, W, CS, K, P)
+    params = ds.SfmParams(huber_delta=0.1, avg_dpt=2.0, min_dpt=0.01,
+                          valid_border=2)
+    poses0 = SE3(poses.q[src], poses.t[src])
+    poses1 = SE3(poses.q[dst], poses.t[dst])
+
+    prev = ds.use_pallas_warp()
+    ds.use_pallas_warp(False)
+    try:
+        ref = ds.sfm_step_batch(
+            poses0, poses1, jnp.asarray(codes)[src], cam,
+            jnp.asarray(imgs)[src], jnp.asarray(imgs)[dst],
+            jnp.asarray(dpt)[src], jnp.zeros((P, H, W)),
+            jnp.asarray(jac)[src], jnp.asarray(grads)[dst], params)
+    finally:
+        ds.use_pallas_warp(prev)
+
+    pose_10, j_pose1, j_pose0 = jax.vmap(se3m.relative_pose_jacobians)(
+        poses1, poses0)
+    kp = sk.make_sfm_params(pose_10, cam, params.valid_border,
+                            params.min_dpt, params.huber_delta,
+                            params.avg_dpt)
+    jacT = jnp.asarray(np.transpose(jac, (0, 3, 1, 2)))
+    on_cpu = jax.devices()[0].platform == "cpu"
+    G = sk.sfm_gram_batch(
+        kp, src, dst, jnp.asarray(imgs), jnp.asarray(dpt), jacT,
+        jnp.asarray(imgs), jnp.asarray(grads[..., 0]),
+        jnp.asarray(grads[..., 1]), interpret=on_cpu)
+    JtJ, Jtr, res, inl = sk.system_from_gram(G, j_pose0, j_pose1, CS)
+
+    # interpret mode is bit-level f32; hardware MXU quantizes to bf16
+    tol = 1e-4 if on_cpu else 1e-2
+    np.testing.assert_allclose(np.asarray(inl), np.asarray(ref.inliers))
+    err = np.max(np.abs(np.asarray(JtJ) - np.asarray(ref.JtJ)))
+    scale = np.max(np.abs(np.asarray(ref.JtJ)))
+    assert err / scale < tol, f"JtJ rel err {err / scale}"
+    err = np.max(np.abs(np.asarray(Jtr) - np.asarray(ref.Jtr)))
+    scale = np.max(np.abs(np.asarray(ref.Jtr)))
+    assert err / scale < tol, f"Jtr rel err {err / scale}"
+    np.testing.assert_allclose(np.asarray(res), np.asarray(ref.residual),
+                               rtol=1e-3)
+    # the Gram construction must keep the per-factor systems exactly
+    # symmetric (indefiniteness from asymmetric rounding NaNs the Cholesky)
+    np.testing.assert_allclose(np.asarray(JtJ),
+                               np.swapaxes(np.asarray(JtJ), -1, -2))
+
+
+def test_gram_layout():
+    """G rows: [A(6) | code(CS) | w·r | valid] — inliers in the corner."""
+    CS = 8
+    H, W, K, P = 48, 64, 3, 2
+    cam, imgs, grads, jac, codes, dpt, poses, src, dst = make_problem(
+        H, W, CS, K, P, seed=3)
+    pose_10, _, _ = jax.vmap(se3m.relative_pose_jacobians)(
+        SE3(poses.q[dst], poses.t[dst]), SE3(poses.q[src], poses.t[src]))
+    kp = sk.make_sfm_params(pose_10, cam, 2, 0.01, 0.1, 2.0)
+    jacT = jnp.asarray(np.transpose(jac, (0, 3, 1, 2)))
+    on_cpu = jax.devices()[0].platform == "cpu"
+    G = sk.sfm_gram_batch(
+        kp, src, dst, jnp.asarray(imgs), jnp.asarray(dpt), jacT,
+        jnp.asarray(imgs), jnp.asarray(grads[..., 0]),
+        jnp.asarray(grads[..., 1]), interpret=on_cpu)
+    G = np.asarray(G)
+    R = 6 + CS + 2
+    assert G.shape == (P, R, R)
+    inl = G[:, R - 1, R - 1]
+    assert np.all(inl > 0) and np.all(inl <= H * W)
+    assert np.all(inl == np.round(inl))

@@ -22,9 +22,10 @@ def setup():
                                width=W, height=H)
     ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
     prx0 = (0.5 + 0.04 * np.sin(xs / 11) * np.cos(ys / 9)).astype(np.float32)
+    # feature-major [CS, H, W] (map_state.LevelData.jac layout)
     jac = np.stack(
         [0.02 * np.sin(xs / (7 + k) + k) * np.cos(ys / (6 + k)) for k in range(CS)],
-        axis=-1,
+        axis=0,
     ).astype(np.float32)
     M = 24
     kp0 = rng.uniform(10, 80, (M, 2)).astype(np.float32)
@@ -118,7 +119,7 @@ def test_geometric_consistency(setup):
     # flat scene at depth 2: prox 0.5 with zero jacobian -> consistent for
     # identical poses
     prx_flat = jnp.full((H, W), 0.5)
-    jac_flat = jnp.zeros((H, W, CS))
+    jac_flat = jnp.zeros((CS, H, W))
     dpt_grad = jnp.zeros((H, W, 2))
     sys0 = sf.geometric_system(
         s["pose0"], s["pose0"], jnp.zeros(CS), jnp.zeros(CS), s["cam"], pts,
@@ -126,7 +127,7 @@ def test_geometric_consistency(setup):
     )
     assert float(sys0.residual) < 1e-8
     # shifting code1 with nonzero jac creates residual + code1 gradient
-    jac1 = jnp.full((H, W, CS), 0.02)
+    jac1 = jnp.full((CS, H, W), 0.02)
     sys1 = sf.geometric_system(
         s["pose0"], s["pose0"], jnp.zeros(CS), 0.5 * jnp.ones(CS), s["cam"],
         pts, prx_flat, jac_flat, prx_flat, jac1, dpt_grad,
