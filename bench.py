@@ -97,11 +97,14 @@ def main():
     img_pyr = ip.build_pyramid(jnp.asarray(synth(1.5)), L)
     grad_pyr = ip.build_gradient_pyramid(img_pyr)
     tracker.track_frame(img_pyr, grad_pyr)
-    n_track = 20
+    n_track = 64
+    img_pyrs = tuple(jnp.broadcast_to(p, (n_track,) + p.shape) for p in img_pyr)
+    grad_pyrs = tuple(jnp.broadcast_to(g, (n_track,) + g.shape)
+                      for g in grad_pyr)
+    tracker.track_burst(img_pyrs, grad_pyrs)  # compile
     t0 = time.perf_counter()
-    for _ in range(n_track):
-        tracker.track_frame(img_pyr, grad_pyr, sync_stats=False)
-    jax.block_until_ready(tracker.pose_ck.t)
+    qs, ts, stats = tracker.track_burst(img_pyrs, grad_pyrs)
+    jax.block_until_ready(ts)
     track_fps = n_track / (time.perf_counter() - t0)
 
     print(f"factors={n_factors} track_fps={track_fps:.1f}", file=sys.stderr)

@@ -50,34 +50,65 @@ class LoopResult(NamedTuple):
 def _make_verify_fn(cfg: LoopConfig, cam: PinholeCamera, levels: int):
     cams = camera_pyramid(cam, levels)
 
-    def verify_one(kf_imgs, kf_dpts, cur_imgs, cur_grads, pq, pt):
-        """Dense C2F tracking of the current frame against one candidate."""
-        pose = SE3(pq, pt)
-        inl = jnp.asarray(0.0)
-        err = jnp.asarray(jnp.inf)
+    def verify_batch(kf_imgs, kf_dpts, cur_imgs, cur_grads, pq, pt):
+        """Dense C2F tracking of the current frame against ALL candidates at
+        once. On TPU each GN iteration is ONE fused se3_gram_batch kernel
+        over the candidate batch (the kernel's factor axis is the candidate
+        axis — no vmap-over-pallas per-element dispatch); the CPU/exact path
+        vmaps the XLA se3_step."""
+        C = pq.shape[0]
+        q, t = pq, pt
+        inl = jnp.zeros((C,))
+        err = jnp.full((C,), jnp.inf)
+        src = jnp.arange(C, dtype=jnp.int32)
+        dstz = jnp.zeros((C,), jnp.int32)
         for level in reversed(range(levels)):
-            def body(_, carry):
+            H, W = cur_imgs[level].shape
+            area = float(H * W)
+            fused = (ds.use_pallas_warp() and H % 8 == 0
+                     and W % min(128, W) == 0)
+            if fused:
+                from ..ops.pallas import sfm_kernel as sk
+                img1p = cur_imgs[level][None]
+                gxp = cur_grads[level][..., 0][None]
+                gyp = cur_grads[level][..., 1][None]
+
+            def body(_, carry, level=level, fused=fused, area=area):
                 q, t, _i, _e = carry
-                sys = ds.se3_step(
-                    SE3(q, t), cams[level], kf_imgs[level], cur_imgs[level],
-                    kf_dpts[level], cur_grads[level], cfg.huber_delta,
-                )
-                newp = ds.se3_solve_and_update(sys.JtJ, sys.Jtr, SE3(q, t),
-                                               damping=1e-8)
-                area = kf_imgs[level].shape[0] * kf_imgs[level].shape[1]
-                return (newp.q, newp.t, sys.inliers / area,
-                        jnp.where(sys.inliers > 0,
-                                  sys.residual / jnp.maximum(sys.inliers, 1.0),
-                                  jnp.inf))
+                if fused:
+                    from ..ops.pallas import sfm_kernel as sk
+                    kp = sk.make_sfm_params(SE3(q, t), cams[level], 1, 0.0,
+                                            cfg.huber_delta, 2.0)
+                    G = sk.se3_gram_batch(
+                        kp, src, dstz, kf_imgs[level], kf_dpts[level],
+                        cur_imgs[level][None],
+                        cur_grads[level][..., 0][None],
+                        cur_grads[level][..., 1][None])
+                    JtJ = 0.5 * (G[:, :6, :6]
+                                 + jnp.swapaxes(G[:, :6, :6], -1, -2))
+                    Jtr, resid, inliers = G[:, :6, 6], G[:, 6, 6], G[:, 7, 7]
+                else:
+                    sys = jax.vmap(
+                        lambda qq, tt, i0, d0: ds.se3_step(
+                            SE3(qq, tt), cams[level], i0, cur_imgs[level],
+                            d0, cur_grads[level], cfg.huber_delta)
+                    )(q, t, kf_imgs[level], kf_dpts[level])
+                    JtJ, Jtr = sys.JtJ, sys.Jtr
+                    resid, inliers = sys.residual, sys.inliers
+                newp = jax.vmap(
+                    lambda A, b, qq, tt: ds.se3_solve_and_update(
+                        A, b, SE3(qq, tt), damping=1e-8)
+                )(JtJ, Jtr, q, t)
+                return (newp.q, newp.t, inliers / area,
+                        jnp.where(inliers > 0,
+                                  resid / jnp.maximum(inliers, 1.0), jnp.inf))
 
             q, t, inl, err = jax.lax.fori_loop(
-                0, cfg.iters_per_level[level], body,
-                (pose.q, pose.t, inl, err),
+                0, cfg.iters_per_level[level], body, (q, t, inl, err)
             )
-            pose = SE3(q, t)
-        return pose.q, pose.t, inl, err
+        return q, t, inl, err
 
-    return jax.jit(jax.vmap(verify_one, in_axes=(0, 0, None, None, 0, 0)))
+    return jax.jit(verify_batch)
 
 
 class LoopDetector:

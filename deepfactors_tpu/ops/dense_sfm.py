@@ -431,6 +431,18 @@ def se3_step(
     """One tracking GN linearization (lucas_kanade_se3.h:35-77). pose_10 maps
     keyframe (cam0) points into the live frame (cam1)."""
     H, W = img0.shape
+    if use_pallas_warp() and H % 8 == 0 and W % min(128, W) == 0:
+        from .pallas import sfm_kernel as sk
+        kp = sk.make_sfm_params(
+            SE3(pose_10.q[None], pose_10.t[None]), cam, 1, 0.0,
+            huber_delta, 2.0)
+        z = jnp.zeros((1,), jnp.int32)
+        G = sk.se3_gram_batch(
+            kp, z, z, img0[None], dpt0[None], img1[None],
+            grad1[..., 0][None], grad1[..., 1][None])[0]
+        JtJ = 0.5 * (G[:6, :6] + G[:6, :6].T)
+        return SystemResult(JtJ=JtJ, Jtr=G[:6, 6],
+                            residual=G[6, 6], inliers=G[7, 7])
     dpt = dpt0.reshape(-1)
     warp = _dense_warp_fields(H, W, dpt, cam, pose_10, 1, 0.0)
     i1, gx, gy, coverage = _sample_img_grad_xy(

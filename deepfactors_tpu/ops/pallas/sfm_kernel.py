@@ -68,37 +68,25 @@ def make_sfm_params(pose_10, cam, border, min_dpt, huber_delta, avg_dpt):
     return jnp.concatenate([R.reshape(Pn, 9), pose_10.t, const, pad], axis=-1)
 
 
-def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
-                       src_ref, dst_ref, p_ref,
-                       img0_ref, dpt_ref, jac_ref,
-                       img1_ref, gx1_ref, gy1_ref,
-                       g_ref, acc_refs):
-    """Grid (P, H/8, W/tw). Accumulates G = B·Bᵀ into g_ref [R, R]."""
-    R_ROWS = 6 + CS + 2
-    pp = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
+def _load_scalars(p_ref, pp):
+    """Unpack one factor's make_sfm_params row from SMEM."""
+    return tuple(p_ref[pp, k] for k in range(12)) + (
+        p_ref[pp, _FX], p_ref[pp, _FY], p_ref[pp, _U0], p_ref[pp, _V0],
+        p_ref[pp, _BORDER], p_ref[pp, _MINDPT],
+        p_ref[pp, _HUBER], p_ref[pp, _AVGDPT],
+    )
 
-    @pl.when((i == 0) & (j == 0))
-    def _():
-        g_ref[:] = jnp.zeros_like(g_ref)
 
-    xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 1).astype(
-        jnp.float32) + (j * tw).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0).astype(
-        jnp.float32) + (i * TILE_H).astype(jnp.float32)
+def _correspondence(sc, xs, ys, dpt, H, W):
+    """FindCorrespondence (warping.h:204-241) per tile.
 
-    R00, R01, R02 = p_ref[pp, 0], p_ref[pp, 1], p_ref[pp, 2]
-    R10, R11, R12 = p_ref[pp, 3], p_ref[pp, 4], p_ref[pp, 5]
-    R20, R21, R22 = p_ref[pp, 6], p_ref[pp, 7], p_ref[pp, 8]
-    tx, ty, tz = p_ref[pp, 9], p_ref[pp, 10], p_ref[pp, 11]
-    fx, fy = p_ref[pp, _FX], p_ref[pp, _FY]
-    u0, v0 = p_ref[pp, _U0], p_ref[pp, _V0]
-    border, min_dpt = p_ref[pp, _BORDER], p_ref[pp, _MINDPT]
-    huber_delta, avg_dpt = p_ref[pp, _HUBER], p_ref[pp, _AVGDPT]
-
-    # ---- correspondence (FindCorrespondence, warping.h:204-241) ----
-    dpt = dpt_ref[0]
+    Returns (x1, y1, valid, iz, u, v, tptx, tpty, tptz) with projective
+    terms sanitized on invalid pixels so 0-weighted rows stay finite
+    (0*inf would be NaN). Invalid pixels fall back to their own
+    coordinates — NOT 0 — so they don't drag the gather band away from
+    the tile (the band base is min(y0) over the whole tile)."""
+    (R00, R01, R02, R10, R11, R12, R20, R21, R22, tx, ty, tz,
+     fx, fy, u0, v0, border, min_dpt, _, _) = sc
     u = (xs - u0) / fx
     v = (ys - v0) / fy
     ptx = u * dpt
@@ -114,15 +102,16 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
         & (x1 >= border) & (x1 < W - border)
         & (y1 >= border) & (y1 < H - border)
     )
-    # sanitize projective terms on invalid pixels so 0-weighted rows stay
-    # finite (0*inf would be NaN). Invalid pixels fall back to their own
-    # coordinates — NOT 0 — so they don't drag the gather band away from
-    # the tile (the band base is min(y0) over the whole tile).
     x1 = jnp.where(valid, x1, xs)
     y1 = jnp.where(valid, y1, ys)
     iz = jnp.where(valid, 1.0 / zsafe, 0.0)
+    return x1, y1, valid, iz, u, v, tptx, tpty, tptz
 
-    # ---- band-gathered bilinear sampling of (img1, gx1, gy1) ----
+
+def _band_sample3(chan_refs, acc_refs, x1, y1, H, W, tw, band):
+    """Band-gathered bilinear sampling of 3 co-located [1, H, W] planes at
+    the warped coords (band strategy: ops/pallas/warp_kernel.py). Fills
+    acc_refs[c] with the samples; returns the band-coverage mask."""
     x0f = jnp.floor(x1)
     y0f = jnp.floor(y1)
     wx = jnp.where(x0f >= W - 1, 0.0, x1 - x0f)
@@ -145,8 +134,8 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
     # ~100 ns of scalar-branch overhead each (27 branches ≈ 3 µs/tile,
     # measured 2.8x slower end-to-end than an unconditional sweep); rows
     # within an active chunk run unconditionally on the VPU.
-    chan_refs = (img1_ref, gx1_ref, gy1_ref)
-    for c in range(3):
+    nchan = len(chan_refs)
+    for c in range(nchan):
         acc_refs[c][:] = jnp.zeros((TILE_H, tw), jnp.float32)
 
     for k in range(band // TILE_H):
@@ -154,7 +143,7 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
 
         @pl.when((lo <= rmax + 1) & (hi >= rmin))
         def _(k=k):
-            for c in range(3):
+            for c in range(nchan):
                 chunk = chan_refs[c][0, pl.ds(b0 + k * TILE_H, TILE_H), :]
                 chunk_r = pltpu.roll(chunk, W - 1, 1)
                 acc = acc_refs[c][:]
@@ -177,14 +166,16 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
                         val = (1.0 - wx) * gA + wx * gB
                         acc = acc + jnp.where(inb[xb], w_row * val, 0.0)
                 acc_refs[c][:] = acc
+    return cover
 
-    i1 = acc_refs[0][:]
-    gx = acc_refs[1][:]
-    gy = acc_refs[2][:]
-    valid = valid & cover
 
-    # ---- per-pixel Jacobian rows (dense_sfm.h:124-201, feature-major) ----
-    # projection jacobian rows (pinhole_camera_impl.h:91-97)
+def _pose_rows(sc, gx, gy, iz, tptx, tpty, tptz):
+    """Gradient-contracted warp Jacobian rows A [6] w.r.t. pose_10
+    (dense_sfm.h:124-201) + the projection-jacobian terms reused by the
+    depth chain. A = grad · d pix1 / d pose10 with dXdT = [I | -hat(tpt-t)],
+    projection rows from pinhole_camera_impl.h:91-97."""
+    (_, _, _, _, _, _, _, _, _, tx, ty, tz,
+     fx, fy, _, _, _, _, _, _) = sc
     d00 = fx * iz
     d02 = -fx * tptx * iz * iz
     d11 = fy * iz
@@ -192,17 +183,85 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
     gd0 = gx * d00
     gd1 = gy * d11
     gd2 = gx * d02 + gy * d12
-
-    # A = grad · d pix1 / d pose10 with dXdT = [I | -hat(tpt - t)]
     vx = tptx - tx
     vy = tpty - ty
     vz = tptz - tz
-    A0 = gd0
-    A1 = gd1
-    A2 = gd2
-    A3 = -gd1 * vz + gd2 * vy
-    A4 = gd0 * vz - gd2 * vx
-    A5 = -gd0 * vy + gd1 * vx
+    A = (gd0, gd1, gd2,
+         -gd1 * vz + gd2 * vy,
+         gd0 * vz - gd2 * vx,
+         -gd0 * vy + gd1 * vx)
+    return A, (d00, d02, d11, d12)
+
+
+def _huber_wv(r, valid, huber_delta):
+    """Huber weight (m_estimators.h:50-56), zeroed on invalid pixels."""
+    aa = jnp.abs(r)
+    hub = jnp.sqrt(huber_delta * (2.0 * aa - huber_delta)) / jnp.maximum(
+        aa, 1e-12)
+    w = jnp.where(aa <= huber_delta, 1.0, hub)
+    return jnp.where(valid, w, 0.0)
+
+
+def _gram(B):
+    """B·Bᵀ on the MXU. Mosaic quantizes f32 operands to bf16 (~0.35%
+    relative on JtJ) but the result is the EXACT Gram matrix of the
+    quantized rows — symmetric PSD by construction, which is what the
+    downstream Cholesky needs; the congruence transform outside the
+    kernel (system_from_gram) must then run at HIGHEST precision."""
+    dims = (((1,), (1,)), ((), ()))
+    return jax.lax.dot_general(B, B, dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _accumulate_gram(g_ref, rows, tw):
+    R_ROWS = len(rows)
+    Bs = jnp.stack(rows)  # [R, TILE_H, tw]
+    if tw == TILE_W:
+        # full lane tile: merge (8, 128) -> 1024 lanes, one MXU dot per tile
+        g_ref[:] += _gram(Bs.reshape(R_ROWS, TILE_H * tw))
+    else:
+        # partial lane tile (coarse pyramid levels): Mosaic cannot shape-cast
+        # (8, tw<128) into lanes — contract per sublane row instead
+        acc = jnp.zeros((R_ROWS, R_ROWS), jnp.float32)
+        for r in range(TILE_H):
+            acc += _gram(Bs[:, r, :])
+        g_ref[:] += acc
+
+
+def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
+                       src_ref, dst_ref, p_ref,
+                       img0_ref, dpt_ref, jac_ref,
+                       img1_ref, gx1_ref, gy1_ref,
+                       g_ref, acc_refs):
+    """Grid (P, H/8, W/tw). Accumulates G = B·Bᵀ into g_ref [R, R]."""
+    pp = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 1).astype(
+        jnp.float32) + (j * tw).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0).astype(
+        jnp.float32) + (i * TILE_H).astype(jnp.float32)
+
+    sc = _load_scalars(p_ref, pp)
+    (R00, R01, R02, R10, R11, R12, R20, R21, R22, _, _, _,
+     _, _, _, _, _, _, huber_delta, avg_dpt) = sc
+
+    dpt = dpt_ref[0]
+    x1, y1, valid, iz, u, v, tptx, tpty, tptz = _correspondence(
+        sc, xs, ys, dpt, H, W)
+    cover = _band_sample3((img1_ref, gx1_ref, gy1_ref), acc_refs,
+                          x1, y1, H, W, tw, band)
+    i1 = acc_refs[0][:]
+    gx = acc_refs[1][:]
+    gy = acc_refs[2][:]
+    valid = valid & cover
+
+    A, (d00, d02, d11, d12) = _pose_rows(sc, gx, gy, iz, tptx, tpty, tptz)
 
     # depth chain (warping.h:259-291): err_J_prx = -(grad·dCam·R·ray)·dDpt/dPrx
     m0 = R00 * u + R01 * v + R02
@@ -216,43 +275,16 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
     dpt_J_prx = -(ad * ad) / avg_dpt
     err_J_prx = -(gx * pjd0 + gy * pjd1) * dpt_J_prx
 
-    # residual + Huber weight (m_estimators.h:50-56)
     r = img0_ref[0] - i1
-    aa = jnp.abs(r)
-    hub = jnp.sqrt(huber_delta * (2.0 * aa - huber_delta)) / jnp.maximum(
-        aa, 1e-12)
-    w = jnp.where(aa <= huber_delta, 1.0, hub)
-    validf = valid.astype(jnp.float32)
-    wv = jnp.where(valid, w, 0.0)
+    wv = _huber_wv(r, valid, huber_delta)
 
-    rows = [wv * A0, wv * A1, wv * A2, wv * A3, wv * A4, wv * A5]
+    rows = [wv * a for a in A]
     s = wv * err_J_prx
     for c in range(CS):
         rows.append(s * jac_ref[0, c])
     rows.append(wv * r)
-    rows.append(validf)
-
-    def gram(B):
-        """B·Bᵀ on the MXU. Mosaic quantizes f32 operands to bf16 (~0.35%
-        relative on JtJ) but the result is the EXACT Gram matrix of the
-        quantized rows — symmetric PSD by construction, which is what the
-        downstream Cholesky needs; the congruence transform outside the
-        kernel (system_from_gram) must then run at HIGHEST precision."""
-        dims = (((1,), (1,)), ((), ()))
-        return jax.lax.dot_general(B, B, dims,
-                                   preferred_element_type=jnp.float32)
-
-    Bs = jnp.stack(rows)  # [R, TILE_H, tw]
-    if tw == TILE_W:
-        # full lane tile: merge (8, 128) -> 1024 lanes, one MXU dot per tile
-        g_ref[:] += gram(Bs.reshape(R_ROWS, TILE_H * tw))
-    else:
-        # partial lane tile (coarse pyramid levels): Mosaic cannot shape-cast
-        # (8, tw<128) into lanes — contract per sublane row instead
-        acc = jnp.zeros((R_ROWS, R_ROWS), jnp.float32)
-        for r in range(TILE_H):
-            acc += gram(Bs[:, r, :])
-        g_ref[:] += acc
+    rows.append(valid.astype(jnp.float32))
+    _accumulate_gram(g_ref, rows, tw)
 
 
 @functools.partial(jax.jit,
@@ -320,6 +352,105 @@ def sfm_gram_batch(
     )(src, dst, params, img0_pool, dpt_pool, jacT_pool,
       img1_pool, gx1_pool, gy1_pool)
     return out
+
+
+def _se3_system_kernel(band: int, H: int, W: int, tw: int,
+                       src_ref, dst_ref, p_ref,
+                       img0_ref, dpt_ref,
+                       img1_ref, gx1_ref, gy1_ref,
+                       g_ref, acc_refs):
+    """Fused SE(3)-only tracking linearization (LucasKanadeSE3,
+    lucas_kanade_se3.h:35-77 / cu_se3aligner.cpp:77-113): rows
+    [-A(6) | w·r | valid], G = B·Bᵀ [8, 8]. The -A sign matches
+    ops.dense_sfm.se3_step's JT = -A so G[:6, 6] IS Jtr directly."""
+    pp = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 1).astype(
+        jnp.float32) + (j * tw).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0).astype(
+        jnp.float32) + (i * TILE_H).astype(jnp.float32)
+
+    sc = _load_scalars(p_ref, pp)
+    huber_delta = sc[18]
+
+    dpt = dpt_ref[0]
+    x1, y1, valid, iz, u, v, tptx, tpty, tptz = _correspondence(
+        sc, xs, ys, dpt, H, W)
+    cover = _band_sample3((img1_ref, gx1_ref, gy1_ref), acc_refs,
+                          x1, y1, H, W, tw, band)
+    i1 = acc_refs[0][:]
+    gx = acc_refs[1][:]
+    gy = acc_refs[2][:]
+    valid = valid & cover
+
+    A, _ = _pose_rows(sc, gx, gy, iz, tptx, tpty, tptz)
+    r = img0_ref[0] - i1
+    wv = _huber_wv(r, valid, huber_delta)
+
+    rows = [-wv * a for a in A]
+    rows.append(wv * r)
+    rows.append(valid.astype(jnp.float32))
+    _accumulate_gram(g_ref, rows, tw)
+
+
+@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+def se3_gram_batch(
+    params: Array,     # [P, PARAM_DIM] per-factor scalars (make_sfm_params)
+    src: Array,        # [P] int32 keyframe slot (img0/dpt pools)
+    dst: Array,        # [P] int32 live-frame slot (img1/grad pools)
+    img0_pool: Array,  # [K, H, W]
+    dpt_pool: Array,   # [K, H, W]
+    img1_pool: Array,  # [K1, H, W]
+    gx1_pool: Array,   # [K1, H, W]
+    gy1_pool: Array,   # [K1, H, W]
+    band: int = 24,
+    interpret: bool = False,
+) -> Array:
+    """Fused SE(3) tracking linearization: G [P, 8, 8] with
+    JtJ = G[:, :6, :6], Jtr = G[:, :6, 6], residual = G[:, 6, 6],
+    inliers = G[:, 7, 7]. Batched P > 1 serves loop-closure candidate
+    verification (loop_detector.cpp:149-168) without vmap dispatch."""
+    P = src.shape[0]
+    K, H, W = img0_pool.shape
+    tw = min(TILE_W, W)
+    grid = (P, H // TILE_H, W // tw)
+
+    def tile_src(p, i, j, src_ref, dst_ref):
+        return (src_ref[p], i, j)
+
+    def plane_dst(p, i, j, src_ref, dst_ref):
+        return (dst_ref[p], 0, 0)
+
+    kernel = functools.partial(_se3_system_kernel, band, H, W, tw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P, PARAM_DIM), lambda p, i, j, s, d: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 8), lambda p, i, j, s, d: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[[pltpu.VMEM((TILE_H, tw), jnp.float32)] * 3],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, 8, 8), jnp.float32),
+        interpret=interpret,
+    )(src, dst, params, img0_pool, dpt_pool,
+      img1_pool, gx1_pool, gy1_pool)
 
 
 def system_from_gram(G: Array, j_pose0: Array, j_pose1: Array, CS: int):

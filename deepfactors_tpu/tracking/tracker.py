@@ -77,6 +77,28 @@ def _make_track_fn(cfg: TrackerConfig, cam: PinholeCamera):
     return jax.jit(track)
 
 
+def _make_burst_fn(track_fn):
+    """lax.scan the single-frame track over a stacked frame batch: one device
+    dispatch tracks N frames (each from the previous frame's pose), hiding
+    per-dispatch host latency. This is the production streaming shape — the
+    reference dispatches ~19 kernel launches + D->H copies per frame
+    (camera_tracker.cpp:42-91)."""
+
+    def burst(pose_q, pose_t, kf_imgs, kf_dpts, imgs_seq, grads_seq):
+        def step(carry, frame):
+            q, t = carry
+            imgs, grads = frame
+            q, t, stats = track_fn(q, t, kf_imgs, kf_dpts, imgs, grads)
+            return (q, t), (q, t, stats)
+
+        (q, t), (qs, ts, stats) = jax.lax.scan(
+            step, (pose_q, pose_t), (imgs_seq, grads_seq)
+        )
+        return qs, ts, stats
+
+    return jax.jit(burst)
+
+
 class CameraTracker:
     """Stateful facade mirroring the reference CameraTracker."""
 
@@ -85,6 +107,7 @@ class CameraTracker:
         self.cfg = cfg
         self.cam = cam
         self._track = _make_track_fn(cfg, cam)
+        self._burst = None
         self.pose_ck: SE3 = se3m.identity()
         self.kf_imgs = None
         self.kf_dpts = None
@@ -121,6 +144,25 @@ class CameraTracker:
             self.inliers = float(inl)
             self.error = float(err)
         return TrackResult(self.pose_ck, stats[0], stats[1])
+
+    def track_burst(self, img_pyrs, grad_pyrs):
+        """Track a whole stacked frame batch in ONE dispatch.
+
+        img_pyrs/grad_pyrs: tuples of per-level stacked arrays [N, h, w] /
+        [N, h, w, 2]. Each frame tracks from the previous frame's pose
+        (streaming semantics). Updates pose_ck to the last frame. Returns
+        (poses_q [N, 4], poses_t [N, 3], stats [N, 2])."""
+        if self.kf_imgs is None:
+            raise RuntimeError("TrackBurst called before a keyframe was set")
+        if self._burst is None:
+            self._burst = _make_burst_fn(self._track)
+        qs, ts, stats = self._burst(
+            self.pose_ck.q, self.pose_ck.t,
+            self.kf_imgs, self.kf_dpts, tuple(img_pyrs), tuple(grad_pyrs),
+        )
+        self.pose_ck = SE3(qs[-1], ts[-1])
+        self.stats = stats[-1]
+        return qs, ts, stats
 
     def get_pose_estimate(self) -> SE3:
         return se3m.mul(self.kf_pose_wk, se3m.inverse(self.pose_ck))

@@ -94,6 +94,50 @@ def test_fused_gram_matches_reference(H, W):
                                np.swapaxes(np.asarray(JtJ), -1, -2))
 
 
+@pytest.mark.parametrize("H,W", [(48, 128), (48, 64)])
+def test_se3_gram_matches_reference(H, W):
+    """Fused SE(3) tracking kernel vs ops.dense_sfm.se3_step
+    (mirrors ut_se3aligner.cpp:133 FullJacobianTest)."""
+    CS, K, P = 4, 3, 4
+    cam, imgs, grads, jac, codes, dpt, poses, src, dst = make_problem(
+        H, W, CS, K, P, seed=7)
+    huber = 0.3
+
+    prev = ds.use_pallas_warp()
+    ds.use_pallas_warp(False)
+    try:
+        refs = []
+        for p in range(P):
+            pose_10 = se3m.relative_pose(
+                SE3(poses.q[dst[p]], poses.t[dst[p]]),
+                SE3(poses.q[src[p]], poses.t[src[p]]))
+            refs.append(ds.se3_step(
+                pose_10, cam, jnp.asarray(imgs[src[p]]),
+                jnp.asarray(imgs[dst[p]]), jnp.asarray(dpt[src[p]]),
+                jnp.asarray(grads[dst[p]]), huber))
+    finally:
+        ds.use_pallas_warp(prev)
+
+    pose_10 = jax.vmap(se3m.relative_pose)(
+        SE3(poses.q[dst], poses.t[dst]), SE3(poses.q[src], poses.t[src]))
+    kp = sk.make_sfm_params(pose_10, cam, 1, 0.0, huber, 2.0)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    G = np.asarray(sk.se3_gram_batch(
+        kp, src, dst, jnp.asarray(imgs), jnp.asarray(dpt),
+        jnp.asarray(imgs), jnp.asarray(grads[..., 0]),
+        jnp.asarray(grads[..., 1]), interpret=on_cpu))
+
+    tol = 1e-4 if on_cpu else 1e-2
+    for p, ref in enumerate(refs):
+        np.testing.assert_allclose(G[p, 7, 7], np.asarray(ref.inliers))
+        scale = max(np.max(np.abs(np.asarray(ref.JtJ))), 1e-6)
+        assert np.max(np.abs(G[p, :6, :6] - np.asarray(ref.JtJ))) / scale < tol
+        scale = max(np.max(np.abs(np.asarray(ref.Jtr))), 1e-6)
+        assert np.max(np.abs(G[p, :6, 6] - np.asarray(ref.Jtr))) / scale < tol
+        np.testing.assert_allclose(G[p, 6, 6], np.asarray(ref.residual),
+                                   rtol=1e-3)
+
+
 def test_gram_layout():
     """G rows: [A(6) | code(CS) | w·r | valid] — inliers in the corner."""
     CS = 8

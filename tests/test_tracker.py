@@ -79,3 +79,48 @@ def test_keyframe_switch_preserves_world_pose():
 
     err = np.asarray(se3m.local(pose_wc_before, pose_wc_after))
     assert np.linalg.norm(err) < 1e-5
+
+
+def test_track_burst_matches_sequential():
+    """track_burst (one-dispatch lax.scan pipeline) must produce the same
+    trajectory as sequential track_frame calls."""
+    img0, cam = build_scene()
+    L = 2
+    cfg = TrackerConfig(pyramid_levels=L, iterations_per_level=(6, 5),
+                        huber_delta=0.3)
+    kf_imgs = ip.build_pyramid(img0, L)
+    kf_dpts = [jnp.full((H >> l, W >> l), 2.0) for l in range(L)]
+
+    deltas = [
+        np.array([0.01, -0.005, 0.01, 0.003, -0.002, 0.004], np.float32),
+        np.array([0.02, -0.01, 0.02, 0.005, -0.004, 0.007], np.float32),
+        np.array([0.03, -0.012, 0.028, 0.008, -0.005, 0.009], np.float32),
+    ]
+    pyrs, grads = [], []
+    for d in deltas:
+        pose_true = se3m.retract(se3m.identity(), jnp.asarray(d))
+        img = render_view(img0, cam, se3m.inverse(pose_true))
+        p = ip.build_pyramid(img, L)
+        pyrs.append(p)
+        grads.append(ip.build_gradient_pyramid(p))
+
+    t_seq = CameraTracker(cfg, cam)
+    t_seq.set_keyframe(kf_imgs, kf_dpts, se3m.identity())
+    seq_poses = []
+    for p, g in zip(pyrs, grads):
+        seq_poses.append(t_seq.track_frame(p, g).pose_ck)
+
+    t_burst = CameraTracker(cfg, cam)
+    t_burst.set_keyframe(kf_imgs, kf_dpts, se3m.identity())
+    img_pyrs = tuple(jnp.stack([p[l] for p in pyrs]) for l in range(L))
+    grad_pyrs = tuple(jnp.stack([g[l] for g in grads]) for l in range(L))
+    qs, ts, stats = t_burst.track_burst(img_pyrs, grad_pyrs)
+
+    assert qs.shape == (3, 4) and ts.shape == (3, 3) and stats.shape == (3, 2)
+    for k, sp in enumerate(seq_poses):
+        np.testing.assert_allclose(np.asarray(qs[k]), np.asarray(sp.q),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ts[k]), np.asarray(sp.t),
+                                   atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t_burst.pose_ck.t),
+                               np.asarray(seq_poses[-1].t), atol=1e-6)
