@@ -51,6 +51,7 @@ def _fused_ok(H: int, W: int) -> bool:
 def photometric_gram_pools(
     pose0, pose1, code0, src, dst, cam_level, params,
     img0_pool, dpt_pool, jacT_pool, img1_pool, gx1_pool, gy1_pool,
+    active=None,
 ) -> FactorBatch:
     """Fused-kernel photometric batch straight from pooled keyframe tensors.
 
@@ -68,7 +69,7 @@ def photometric_gram_pools(
                             params.min_dpt, params.huber_delta,
                             params.avg_dpt)
     G = sk.sfm_gram_batch(kp, src, dst, img0_pool, dpt_pool, jacT_pool,
-                          img1_pool, gx1_pool, gy1_pool)
+                          img1_pool, gx1_pool, gy1_pool, active=active)
     JtJ, Jtr, res, inl = sk.system_from_gram(G, j_pose0, j_pose1, CS)
     return FactorBatch(JtJ, Jtr, res, inl)
 
@@ -80,6 +81,7 @@ def photometric_batch(
     level: int,
     cam_level: PinholeCamera,
     params: ds.SfmParams,
+    active: Array = None,  # [P] fused kernel skips inactive slots (G = 0)
 ) -> FactorBatch:
     """Evaluate photometric GN systems for factor pairs (src -> dst)."""
     lvl = state.levels[level]
@@ -93,6 +95,7 @@ def photometric_batch(
             pose0, pose1, code0, src, dst, cam_level, params,
             lvl.img, lvl.dpt, lvl.jac, lvl.img,
             lvl.grad[..., 0], lvl.grad[..., 1],
+            active=active,
         )
 
     sys = ds.sfm_step_batch(

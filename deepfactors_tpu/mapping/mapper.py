@@ -248,7 +248,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         min_dpt=cfg.min_dpt, valid_border=cfg.valid_border,
     )
 
-    def frame_photo_batch(state, frames_, src, dst, level):
+    def frame_photo_batch(state, frames_, src, dst, level, active=None):
         """Photometric factors whose target is a one-way frame. Pool entries
         targeting keyframes carry dst >= F — clamp before the one-hot gather
         (an out-of-range one-hot row is all-zero and would poison quaternion
@@ -265,6 +265,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
                 pose0, pose1, state.code[src], src, dstc, cams[level],
                 params, lvl.img, lvl.dpt, lvl.jac,
                 flv.img, flv.grad[..., 0], flv.grad[..., 1],
+                active=active,
             )
         return ds.sfm_step_batch(
             pose0, pose1, state.code[src], cams[level],
@@ -348,13 +349,14 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
             kk = at_l & ~pool_isf
             kfm = at_l & pool_isf
             batch = fct.photometric_batch(
-                state, pool_src, pool_dst, l, cams[l], params
+                state, pool_src, pool_dst, l, cams[l], params, active=kk
             )
             idx_kk = sysm.factor_slot_indices(pool_src, pool_dst, K, CS)
             all_H.append(batch.JtJ); all_b.append(batch.Jtr)
             all_idx.append(idx_kk); all_act.append(kk)
             if F > 0 and use_frames:
-                fb = frame_photo_batch(state, frames_, pool_src, pool_dst, l)
+                fb = frame_photo_batch(state, frames_, pool_src, pool_dst, l,
+                                       active=kfm)
                 pose1_idx = Dp + Dc + pool_dst[:, None] * 6 + jnp.arange(6)
                 pose0_idx = pool_src[:, None] * 6 + jnp.arange(6)
                 code_idx = Dp + pool_src[:, None] * CS + jnp.arange(CS)

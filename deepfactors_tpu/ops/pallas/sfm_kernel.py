@@ -133,7 +133,9 @@ def _band_sample3(chan_refs, acc_refs, x1, y1, H, W, tw, band):
     # Predicate at CHUNK granularity only: per-row @pl.when predication costs
     # ~100 ns of scalar-branch overhead each (27 branches ≈ 3 µs/tile,
     # measured 2.8x slower end-to-end than an unconditional sweep); rows
-    # within an active chunk run unconditionally on the VPU.
+    # within an active chunk run unconditionally on the VPU. Loop order is
+    # rows-outer/channels-inner so the row/block masks (w_row, wv) are
+    # computed once and shared by all channels.
     nchan = len(chan_refs)
     for c in range(nchan):
         acc_refs[c][:] = jnp.zeros((TILE_H, tw), jnp.float32)
@@ -143,29 +145,33 @@ def _band_sample3(chan_refs, acc_refs, x1, y1, H, W, tw, band):
 
         @pl.when((lo <= rmax + 1) & (hi >= rmin))
         def _(k=k):
-            for c in range(nchan):
-                chunk = chan_refs[c][0, pl.ds(b0 + k * TILE_H, TILE_H), :]
-                chunk_r = pltpu.roll(chunk, W - 1, 1)
-                acc = acc_refs[c][:]
-                for r in range(TILE_H):
-                    d = k * TILE_H + r
-                    w_row = jnp.where(rel == d, 1.0 - wy, 0.0)
-                    if d > 0:
-                        w_row = w_row + jnp.where(rel == d - 1, wy, 0.0)
-                    for xb in range(n_xb):
+            chunks = [chan_refs[c][0, pl.ds(b0 + k * TILE_H, TILE_H), :]
+                      for c in range(nchan)]
+            rolled = [pltpu.roll(ch, W - 1, 1) for ch in chunks]
+            accs = [acc_refs[c][:] for c in range(nchan)]
+            for r in range(TILE_H):
+                d = k * TILE_H + r
+                w_row = jnp.where(rel == d, 1.0 - wy, 0.0)
+                if d > 0:
+                    w_row = w_row + jnp.where(rel == d - 1, wy, 0.0)
+                for xb in range(n_xb):
+                    wv = jnp.where(inb[xb], w_row, 0.0)
+                    wvx = wv * wx
+                    wva = wv - wvx
+                    for c in range(nchan):
                         segA = jnp.broadcast_to(
-                            chunk[r:r + 1, xb * tw:(xb + 1) * tw],
+                            chunks[c][r:r + 1, xb * tw:(xb + 1) * tw],
                             (TILE_H, tw),
                         )
                         segB = jnp.broadcast_to(
-                            chunk_r[r:r + 1, xb * tw:(xb + 1) * tw],
+                            rolled[c][r:r + 1, xb * tw:(xb + 1) * tw],
                             (TILE_H, tw),
                         )
                         gA = jnp.take_along_axis(segA, xlc[xb], axis=1)
                         gB = jnp.take_along_axis(segB, xlc[xb], axis=1)
-                        val = (1.0 - wx) * gA + wx * gB
-                        acc = acc + jnp.where(inb[xb], w_row * val, 0.0)
-                acc_refs[c][:] = acc
+                        accs[c] = accs[c] + (wva * gA + wvx * gB)
+            for c in range(nchan):
+                acc_refs[c][:] = accs[c]
     return cover
 
 
@@ -229,11 +235,14 @@ def _accumulate_gram(g_ref, rows, tw):
 
 
 def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
-                       src_ref, dst_ref, p_ref,
+                       src_ref, dst_ref, act_ref, p_ref,
                        img0_ref, dpt_ref, jac_ref,
                        img1_ref, gx1_ref, gy1_ref,
                        g_ref, acc_refs):
-    """Grid (P, H/8, W/tw). Accumulates G = B·Bᵀ into g_ref [R, R]."""
+    """Grid (P, H/8, W/tw). Accumulates G = B·Bᵀ into g_ref [R, R].
+    Inactive pool slots (act_ref[p] == 0) produce a zero G and skip the
+    whole VPU-bound body — pools are sized for worst case, so a mapping
+    step typically runs with half the slots masked."""
     pp = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -242,49 +251,53 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
     def _():
         g_ref[:] = jnp.zeros_like(g_ref)
 
-    xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 1).astype(
-        jnp.float32) + (j * tw).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0).astype(
-        jnp.float32) + (i * TILE_H).astype(jnp.float32)
+    @pl.when(act_ref[pp] != 0)
+    def _():
+        xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 1).astype(
+            jnp.float32) + (j * tw).astype(jnp.float32)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0).astype(
+            jnp.float32) + (i * TILE_H).astype(jnp.float32)
 
-    sc = _load_scalars(p_ref, pp)
-    (R00, R01, R02, R10, R11, R12, R20, R21, R22, _, _, _,
-     _, _, _, _, _, _, huber_delta, avg_dpt) = sc
+        sc = _load_scalars(p_ref, pp)
+        (R00, R01, R02, R10, R11, R12, R20, R21, R22, _, _, _,
+         _, _, _, _, _, _, huber_delta, avg_dpt) = sc
 
-    dpt = dpt_ref[0]
-    x1, y1, valid, iz, u, v, tptx, tpty, tptz = _correspondence(
-        sc, xs, ys, dpt, H, W)
-    cover = _band_sample3((img1_ref, gx1_ref, gy1_ref), acc_refs,
-                          x1, y1, H, W, tw, band)
-    i1 = acc_refs[0][:]
-    gx = acc_refs[1][:]
-    gy = acc_refs[2][:]
-    valid = valid & cover
+        dpt = dpt_ref[0]
+        x1, y1, valid, iz, u, v, tptx, tpty, tptz = _correspondence(
+            sc, xs, ys, dpt, H, W)
+        cover = _band_sample3((img1_ref, gx1_ref, gy1_ref), acc_refs,
+                              x1, y1, H, W, tw, band)
+        i1 = acc_refs[0][:]
+        gx = acc_refs[1][:]
+        gy = acc_refs[2][:]
+        valid = valid & cover
 
-    A, (d00, d02, d11, d12) = _pose_rows(sc, gx, gy, iz, tptx, tpty, tptz)
+        A, (d00, d02, d11, d12) = _pose_rows(sc, gx, gy, iz,
+                                             tptx, tpty, tptz)
 
-    # depth chain (warping.h:259-291): err_J_prx = -(grad·dCam·R·ray)·dDpt/dPrx
-    m0 = R00 * u + R01 * v + R02
-    m1 = R10 * u + R11 * v + R12
-    m2 = R20 * u + R21 * v + R22
-    pjd0 = d00 * m0 + d02 * m2
-    pjd1 = d11 * m1 + d12 * m2
-    # dpt = avg/prx - avg, prx = avg/(avg+dpt) => d dpt/d prx = -(avg+dpt)²/avg
-    # (warping.h:44-50, geometry.warping.depth_jacobian_prx)
-    ad = avg_dpt + dpt
-    dpt_J_prx = -(ad * ad) / avg_dpt
-    err_J_prx = -(gx * pjd0 + gy * pjd1) * dpt_J_prx
+        # depth chain (warping.h:259-291):
+        # err_J_prx = -(grad·dCam·R·ray)·dDpt/dPrx
+        m0 = R00 * u + R01 * v + R02
+        m1 = R10 * u + R11 * v + R12
+        m2 = R20 * u + R21 * v + R22
+        pjd0 = d00 * m0 + d02 * m2
+        pjd1 = d11 * m1 + d12 * m2
+        # dpt = avg/prx - avg, prx = avg/(avg+dpt)
+        # => d dpt/d prx = -(avg+dpt)²/avg (warping.h:44-50)
+        ad = avg_dpt + dpt
+        dpt_J_prx = -(ad * ad) / avg_dpt
+        err_J_prx = -(gx * pjd0 + gy * pjd1) * dpt_J_prx
 
-    r = img0_ref[0] - i1
-    wv = _huber_wv(r, valid, huber_delta)
+        r = img0_ref[0] - i1
+        wv = _huber_wv(r, valid, huber_delta)
 
-    rows = [wv * a for a in A]
-    s = wv * err_J_prx
-    for c in range(CS):
-        rows.append(s * jac_ref[0, c])
-    rows.append(wv * r)
-    rows.append(valid.astype(jnp.float32))
-    _accumulate_gram(g_ref, rows, tw)
+        rows = [wv * a for a in A]
+        s = wv * err_J_prx
+        for c in range(CS):
+            rows.append(s * jac_ref[0, c])
+        rows.append(wv * r)
+        rows.append(valid.astype(jnp.float32))
+        _accumulate_gram(g_ref, rows, tw)
 
 
 @functools.partial(jax.jit,
@@ -299,6 +312,7 @@ def sfm_gram_batch(
     img1_pool: Array,  # [K1, H, W]
     gx1_pool: Array,   # [K1, H, W]
     gy1_pool: Array,   # [K1, H, W]
+    active: Array = None,  # [P] int32/bool; 0 slots skip compute, G = 0
     band: int = 24,
     interpret: bool = False,
 ) -> Array:
@@ -310,22 +324,22 @@ def sfm_gram_batch(
     R_ROWS = 6 + CS + 2
     tw = min(TILE_W, W)
     grid = (P, H // TILE_H, W // tw)
+    if active is None:
+        active = jnp.ones((P,), jnp.int32)
+    active = active.astype(jnp.int32)
 
-    def tile_src(p, i, j, src_ref, dst_ref):
+    def tile_src(p, i, j, src_ref, dst_ref, act_ref):
         return (src_ref[p], i, j)
 
-    def jac_src(p, i, j, src_ref, dst_ref):
-        return (src_ref[p], 0, i, j)
-
-    def plane_dst(p, i, j, src_ref, dst_ref):
+    def plane_dst(p, i, j, src_ref, dst_ref, act_ref):
         return (dst_ref[p], 0, 0)
 
-    def smem_params(p, i, j, src_ref, dst_ref):
+    def smem_params(p, i, j, src_ref, dst_ref, act_ref):
         return (0, 0)
 
     kernel = functools.partial(_sfm_system_kernel, CS, band, H, W, tw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec((P, PARAM_DIM), smem_params,
@@ -333,14 +347,14 @@ def sfm_gram_batch(
             pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CS, TILE_H, tw),
-                         lambda p, i, j, s, d: (s[p], 0, i, j),
+                         lambda p, i, j, s, d, a: (s[p], 0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, R_ROWS, R_ROWS),
-                               lambda p, i, j, s, d: (p, 0, 0),
+                               lambda p, i, j, s, d, a: (p, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[[pltpu.VMEM((TILE_H, tw), jnp.float32)] * 3],
     )
@@ -349,13 +363,13 @@ def sfm_gram_batch(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, R_ROWS, R_ROWS), jnp.float32),
         interpret=interpret,
-    )(src, dst, params, img0_pool, dpt_pool, jacT_pool,
+    )(src, dst, active, params, img0_pool, dpt_pool, jacT_pool,
       img1_pool, gx1_pool, gy1_pool)
     return out
 
 
 def _se3_system_kernel(band: int, H: int, W: int, tw: int,
-                       src_ref, dst_ref, p_ref,
+                       src_ref, dst_ref, act_ref, p_ref,
                        img0_ref, dpt_ref,
                        img1_ref, gx1_ref, gy1_ref,
                        g_ref, acc_refs):
@@ -371,32 +385,34 @@ def _se3_system_kernel(band: int, H: int, W: int, tw: int,
     def _():
         g_ref[:] = jnp.zeros_like(g_ref)
 
-    xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 1).astype(
-        jnp.float32) + (j * tw).astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0).astype(
-        jnp.float32) + (i * TILE_H).astype(jnp.float32)
+    @pl.when(act_ref[pp] != 0)
+    def _():
+        xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 1).astype(
+            jnp.float32) + (j * tw).astype(jnp.float32)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0).astype(
+            jnp.float32) + (i * TILE_H).astype(jnp.float32)
 
-    sc = _load_scalars(p_ref, pp)
-    huber_delta = sc[18]
+        sc = _load_scalars(p_ref, pp)
+        huber_delta = sc[18]
 
-    dpt = dpt_ref[0]
-    x1, y1, valid, iz, u, v, tptx, tpty, tptz = _correspondence(
-        sc, xs, ys, dpt, H, W)
-    cover = _band_sample3((img1_ref, gx1_ref, gy1_ref), acc_refs,
-                          x1, y1, H, W, tw, band)
-    i1 = acc_refs[0][:]
-    gx = acc_refs[1][:]
-    gy = acc_refs[2][:]
-    valid = valid & cover
+        dpt = dpt_ref[0]
+        x1, y1, valid, iz, u, v, tptx, tpty, tptz = _correspondence(
+            sc, xs, ys, dpt, H, W)
+        cover = _band_sample3((img1_ref, gx1_ref, gy1_ref), acc_refs,
+                              x1, y1, H, W, tw, band)
+        i1 = acc_refs[0][:]
+        gx = acc_refs[1][:]
+        gy = acc_refs[2][:]
+        valid = valid & cover
 
-    A, _ = _pose_rows(sc, gx, gy, iz, tptx, tpty, tptz)
-    r = img0_ref[0] - i1
-    wv = _huber_wv(r, valid, huber_delta)
+        A, _ = _pose_rows(sc, gx, gy, iz, tptx, tpty, tptz)
+        r = img0_ref[0] - i1
+        wv = _huber_wv(r, valid, huber_delta)
 
-    rows = [-wv * a for a in A]
-    rows.append(wv * r)
-    rows.append(valid.astype(jnp.float32))
-    _accumulate_gram(g_ref, rows, tw)
+        rows = [-wv * a for a in A]
+        rows.append(wv * r)
+        rows.append(valid.astype(jnp.float32))
+        _accumulate_gram(g_ref, rows, tw)
 
 
 @functools.partial(jax.jit, static_argnames=("band", "interpret"))
@@ -409,6 +425,7 @@ def se3_gram_batch(
     img1_pool: Array,  # [K1, H, W]
     gx1_pool: Array,   # [K1, H, W]
     gy1_pool: Array,   # [K1, H, W]
+    active: Array = None,  # [P] int32/bool; 0 slots skip compute, G = 0
     band: int = 24,
     interpret: bool = False,
 ) -> Array:
@@ -420,19 +437,22 @@ def se3_gram_batch(
     K, H, W = img0_pool.shape
     tw = min(TILE_W, W)
     grid = (P, H // TILE_H, W // tw)
+    if active is None:
+        active = jnp.ones((P,), jnp.int32)
+    active = active.astype(jnp.int32)
 
-    def tile_src(p, i, j, src_ref, dst_ref):
+    def tile_src(p, i, j, src_ref, dst_ref, act_ref):
         return (src_ref[p], i, j)
 
-    def plane_dst(p, i, j, src_ref, dst_ref):
+    def plane_dst(p, i, j, src_ref, dst_ref, act_ref):
         return (dst_ref[p], 0, 0)
 
     kernel = functools.partial(_se3_system_kernel, band, H, W, tw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((P, PARAM_DIM), lambda p, i, j, s, d: (0, 0),
+            pl.BlockSpec((P, PARAM_DIM), lambda p, i, j, s, d, a: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
@@ -440,7 +460,7 @@ def se3_gram_batch(
             pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, 8), lambda p, i, j, s, d: (p, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, 8), lambda p, i, j, s, d, a: (p, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[[pltpu.VMEM((TILE_H, tw), jnp.float32)] * 3],
     )
@@ -449,7 +469,7 @@ def se3_gram_batch(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, 8, 8), jnp.float32),
         interpret=interpret,
-    )(src, dst, params, img0_pool, dpt_pool,
+    )(src, dst, active, params, img0_pool, dpt_pool,
       img1_pool, gx1_pool, gy1_pool)
 
 

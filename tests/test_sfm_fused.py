@@ -159,3 +159,36 @@ def test_gram_layout():
     inl = G[:, R - 1, R - 1]
     assert np.all(inl > 0) and np.all(inl <= H * W)
     assert np.all(inl == np.round(inl))
+
+
+def test_active_mask_zeroes_inactive():
+    """Inactive pool slots must produce exactly-zero Gram blocks (the kernel
+    skips their compute entirely — pools run at capacity with masked slots)."""
+    CS, K, P = 8, 3, 4
+    H, W = 48, 64
+    cam, imgs, grads, jac, codes, dpt, poses, src, dst = make_problem(
+        H, W, CS, K, P, seed=5)
+    pose_10, _, _ = jax.vmap(se3m.relative_pose_jacobians)(
+        SE3(poses.q[dst], poses.t[dst]), SE3(poses.q[src], poses.t[src]))
+    kp = sk.make_sfm_params(pose_10, cam, 2, 0.01, 0.1, 2.0)
+    jacT = jnp.asarray(np.transpose(jac, (0, 3, 1, 2)))
+    act = jnp.asarray([1, 0, 1, 0], jnp.int32)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    G = np.asarray(sk.sfm_gram_batch(
+        kp, src, dst, jnp.asarray(imgs), jnp.asarray(dpt), jacT,
+        jnp.asarray(imgs), jnp.asarray(grads[..., 0]),
+        jnp.asarray(grads[..., 1]), active=act, interpret=on_cpu))
+    Gfull = np.asarray(sk.sfm_gram_batch(
+        kp, src, dst, jnp.asarray(imgs), jnp.asarray(dpt), jacT,
+        jnp.asarray(imgs), jnp.asarray(grads[..., 0]),
+        jnp.asarray(grads[..., 1]), interpret=on_cpu))
+    assert np.all(G[1] == 0) and np.all(G[3] == 0)
+    np.testing.assert_array_equal(G[0], Gfull[0])
+    np.testing.assert_array_equal(G[2], Gfull[2])
+
+    Gse3 = np.asarray(sk.se3_gram_batch(
+        kp, src, dst, jnp.asarray(imgs), jnp.asarray(dpt),
+        jnp.asarray(imgs), jnp.asarray(grads[..., 0]),
+        jnp.asarray(grads[..., 1]), active=act, interpret=on_cpu))
+    assert np.all(Gse3[1] == 0) and np.all(Gse3[3] == 0)
+    assert np.any(Gse3[0] != 0)
