@@ -49,14 +49,28 @@ def assemble(
     factor_idx: Array,    # [P, Df] global indices
     factor_active: Array,  # [P] bool
 ) -> GlobalSystem:
-    """Scatter-add all factor systems into a global dense system."""
+    """Sum all factor systems into a global dense system: H = Σ EᵀH_fE.
+
+    Implemented as one-hot matmuls (E[p, i, idx[p, i]] = 1) instead of a
+    2D scatter-add: XLA's TPU scatter runs serially (~800 µs for 48 44x44
+    blocks into 196²) while the equivalent congruence rides the MXU
+    (~30 µs). Overlapping indices superpose exactly like scatter-add.
+    HIGHEST precision: assembly feeds a Cholesky, bf16 rounding of 1e5-scale
+    entries would make the damped system indefinite."""
     w = factor_active.astype(factor_H.dtype)
     Hf = factor_H * w[:, None, None]
     bf = factor_b * w[:, None]
-    H = jnp.zeros((D, D), factor_H.dtype)
-    b = jnp.zeros((D,), factor_b.dtype)
-    H = H.at[factor_idx[:, :, None], factor_idx[:, None, :]].add(Hf)
-    b = b.at[factor_idx].add(bf)
+    P, Df = factor_b.shape
+    hp = jax.lax.Precision.HIGHEST
+    E = (factor_idx[:, :, None] == jnp.arange(D)[None, None, :]).astype(
+        factor_H.dtype)  # [P, Df, D]
+    HE = jnp.einsum("pij,pjd->pid", Hf, E,
+                    preferred_element_type=factor_H.dtype, precision=hp)
+    Ef = E.reshape(P * Df, D)
+    H = jnp.einsum("rd,re->de", Ef, HE.reshape(P * Df, D),
+                   preferred_element_type=factor_H.dtype, precision=hp)
+    b = jnp.einsum("rd,r->d", Ef, bf.reshape(P * Df),
+                   preferred_element_type=factor_b.dtype, precision=hp)
     return GlobalSystem(H, b)
 
 
