@@ -67,7 +67,8 @@ def main():
         m.state, m.frames,
         jnp.asarray(m.pool.src), jnp.asarray(m.pool.dst),
         jnp.asarray(m.pool.dst_is_frame), jnp.asarray(m.pool.level),
-        jnp.asarray(m.pool.active), rep, geo, m.marginals, kf_mask, fr_mask,
+        jnp.asarray(m.pool.active), rep, geo, m.marginals, m.dprior,
+        kf_mask, fr_mask,
         jnp.asarray(0, jnp.int32),
         se3m.identity().q, se3m.identity().t,
         jnp.asarray(cfg.lm_lambda, jnp.float32),

@@ -109,6 +109,34 @@ def photometric_batch(
     return FactorBatch(sys.JtJ, sys.Jtr, sys.residual, sys.inliers)
 
 
+def depth_prior_batch(
+    state: ms.MapState,
+    tgt_pyr,           # tuple of [K, h, w] target-depth pyramids
+    sigma: float,
+    avg_dpt: float,
+) -> FactorBatch:
+    """Code-only GN systems tying each keyframe's code to a ground-truth
+    depth pyramid, summed over all levels and scaled by 1/σ²
+    (DepthPriorFactor::linearize/RunAlignment, depth_prior_factor.cpp:83-123;
+    step math cu_depthaligner.cpp:46-68). Returns [K, CS, CS] / [K, CS]
+    blocks addressed at each keyframe's code slot."""
+    K, CS = state.code.shape
+    JtJ = jnp.zeros((K, CS, CS))
+    Jtr = jnp.zeros((K, CS))
+    res = jnp.zeros((K,))
+    inl = jnp.zeros((K,))
+    for l, lvl in enumerate(state.levels):
+        sys = jax.vmap(ds.depth_align_step_T, in_axes=(0, 0, 0, 0, None))(
+            state.code, tgt_pyr[l], lvl.prx0, lvl.jac, avg_dpt
+        )
+        JtJ = JtJ + sys.JtJ
+        Jtr = Jtr + sys.Jtr
+        res = res + sys.residual
+        inl = inl + sys.inliers
+    w = 1.0 / (sigma * sigma)
+    return FactorBatch(JtJ * w, Jtr * w, res, inl)
+
+
 def photometric_error_batch(
     state: ms.MapState,
     src: Array,

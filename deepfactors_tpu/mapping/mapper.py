@@ -81,6 +81,10 @@ class MapperConfig(NamedTuple):
     geo_stochastic: bool = False
     geo_huber: float = 0.1
     geo_iters: int = 15
+    # ground-truth depth priors on keyframe codes (DepthPriorFactor,
+    # depth_prior_factor.cpp:83-123 — experiments/debug path)
+    use_depth_prior: bool = False
+    dpt_prior_sigma: float = 1.0
     # use the C++ scheduler backend (native/scheduler.cpp) when built
     use_native_scheduler: bool = False
 
@@ -335,7 +339,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
 
     def gn_iteration(
         state, frames_, pool_src, pool_dst, pool_isf, pool_level, pool_active,
-        rep, geo, marginals,
+        rep, geo, marginals, dprior,
         kf_var_mask, frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
         levels_present, use_frames,
     ):
@@ -391,6 +395,14 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         mgsys = sysm.assemble(D, mH, mg_, midx, marginals.active)
         gsys = sysm.GlobalSystem(gsys.H + mgsys.H, gsys.b + mgsys.b)
 
+        if cfg.use_depth_prior:
+            dp = fct.depth_prior_batch(state, dprior["pyr"],
+                                       cfg.dpt_prior_sigma, cfg.avg_dpt)
+            didx = (Dp + slots[:, None] * CS
+                    + jnp.arange(CS)).astype(jnp.int32)
+            dsys = sysm.assemble(D, dp.JtJ, dp.Jtr, didx, dprior["active"])
+            gsys = sysm.GlobalSystem(gsys.H + dsys.H, gsys.b + dsys.b)
+
         # priors (df_work.cpp:29-57): zero-code prior on every active code,
         # pose prior pinning the anchor at its bootstrap value
         code_w = 1.0 / (cfg.code_prior**2)
@@ -440,7 +452,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
                                                   "use_frames"))
     def run(
         state, frames_, pool_src, pool_dst, pool_isf, pool_level, pool_active,
-        rep, geo, marginals,
+        rep, geo, marginals, dprior,
         kf_var_mask, frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
         n_iters, levels_present, use_frames,
     ):
@@ -452,7 +464,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
             state, frames_, i, _ = carry
             state, frames_, max_delta = gn_iteration(
                 state, frames_, pool_src, pool_dst, pool_isf, pool_level,
-                pool_active, rep, geo, marginals, kf_var_mask,
+                pool_active, rep, geo, marginals, dprior, kf_var_mask,
                 frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
                 levels_present, use_frames,
             )
@@ -489,6 +501,7 @@ class Mapper:
 
         self.sched = make_scheduler(cfg)
         self.marginals = mg.create(cfg.max_keyframes, cfg.code_size)
+        self.dprior = self._empty_dprior()
         self._run_fn = _make_run_fn(cfg, cam)
         self._rng_key = jax.random.PRNGKey(42)
         # host-side bookkeeping
@@ -517,6 +530,33 @@ class Mapper:
     def work(self):
         """Python-backend WorkManager (raises on the native backend)."""
         return self.sched.wm
+
+    # -- depth priors (DepthPriorFactor, depth_prior_factor.cpp) -------------
+
+    def _empty_dprior(self):
+        cfg = self.cfg
+        pyr = tuple(
+            jnp.ones((cfg.max_keyframes, cfg.height >> l, cfg.width >> l),
+                     jnp.float32)
+            for l in range(cfg.pyramid_levels)
+        )
+        return {"pyr": pyr,
+                "active": jnp.zeros((cfg.max_keyframes,), bool)}
+
+    def set_depth_prior(self, slot: int, dpt):
+        """Tie keyframe ``slot``'s code to a ground-truth depth map: builds
+        the blur-down pyramid (depth_prior_factor.cpp:45-54) and activates
+        the code-only prior in every GN iteration (requires
+        cfg.use_depth_prior)."""
+        if not self.cfg.use_depth_prior:
+            raise RuntimeError("set_depth_prior requires use_depth_prior")
+        pyr = ip.build_pyramid(jnp.asarray(dpt, jnp.float32),
+                               self.cfg.pyramid_levels)
+        self.dprior = {
+            "pyr": tuple(p.at[slot].set(lvl)
+                         for p, lvl in zip(self.dprior["pyr"], pyr)),
+            "active": self.dprior["active"].at[slot].set(True),
+        }
 
     # -- slot management ----------------------------------------------------
 
@@ -840,7 +880,7 @@ class Mapper:
             jnp.asarray(self.pool.src), jnp.asarray(self.pool.dst),
             jnp.asarray(self.pool.dst_is_frame), jnp.asarray(self.pool.level),
             jnp.asarray(self.pool.active),
-            rep, geo, self.marginals,
+            rep, geo, self.marginals, self.dprior,
             kf_mask, fr_mask,
             jnp.asarray(anchor, jnp.int32),
             self._anchor_pose.q, self._anchor_pose.t,
@@ -877,6 +917,7 @@ class Mapper:
 
         self.sched = make_scheduler(cfg)
         self.marginals = mg.create(cfg.max_keyframes, cfg.code_size)
+        self.dprior = self._empty_dprior()
         self.kf_slots = []
         self.frame_slots = []
         self.kf_ids = {}

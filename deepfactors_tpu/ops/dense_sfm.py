@@ -474,6 +474,14 @@ def se3_warp(
     """Render img1 warped into cam0's frame + residual/inlier stats
     (cu_se3aligner.cpp kernel_warp_calculate :37-75)."""
     H, W = img0.shape
+    if use_pallas_warp() and H % 8 == 0 and W % min(128, W) == 0:
+        from .pallas import sfm_kernel as sk
+        kp = sk.make_sfm_params(
+            SE3(pose_10.q[None], pose_10.t[None]), cam, 1, 0.0, 0.1, 2.0)
+        z = jnp.zeros((1,), jnp.int32)
+        warped, res, inl = sk.se3_warp_batch(
+            kp, z, z, img0[None], dpt0[None], img1[None])
+        return warped[0], ErrorResult(residual=res[0], inliers=inl[0])
     pix0 = _pixel_grid(H, W).reshape(-1, 2)
     dpt = dpt0.reshape(-1)
     corresp = wp.find_correspondence(pix0, dpt, cam, pose_10, border=1, min_dpt=0.0)
@@ -508,3 +516,33 @@ def depth_align_step(
     ones = jnp.ones_like(diff)
     valid = jnp.ones_like(diff, dtype=bool)
     return _masked_system(J, diff, ones, valid)
+
+
+def depth_align_step_T(
+    code: Array,        # [CS]
+    target_dpt: Array,  # [H, W]
+    prx_orig: Array,    # [H, W]
+    prx_jacT: Array,    # [CS, H, W] feature-major (map_state.LevelData.jac)
+    avg_dpt: float = 2.0,
+) -> SystemResult:
+    """depth_align_step on the feature-major jacobian layout: builds the
+    [CS, N] row stack directly (no [N, CS] intermediate, which pads CS to
+    128 lanes on TPU).
+
+    Deliberate deviation from cu_depthaligner.cpp:46-68: the reference's
+    J = -2|diff|·dDpt/dPrx·prx_J yields GN steps of CONSTANT magnitude
+    ±1/(2·dDpt·prx_J) independent of |diff| — it bang-bangs around the
+    target depth without converging. Here J is the true residual Jacobian
+    d(tgt − dpt)/d code = -dDpt/dPrx·prx_J, which shares the fixed point
+    (diff = 0) and converges quadratically. The reference-exact variant is
+    kept as depth_align_step for parity tests."""
+    CS = prx_jacT.shape[0]
+    prx = prx_orig + jnp.einsum("chw,c->hw", prx_jacT, code,
+                                preferred_element_type=jnp.float32)
+    dpt = wp.prox_to_depth(prx, avg_dpt)
+    diff = (target_dpt - dpt).reshape(-1)
+    dJp = wp.depth_jacobian_prx(dpt, avg_dpt).reshape(-1)
+    JT = (-dJp)[None, :] * prx_jacT.reshape(CS, -1)
+    ones = jnp.ones_like(diff)
+    valid = jnp.ones_like(diff, dtype=bool)
+    return _masked_system_T(JT, diff, ones, valid)

@@ -473,6 +473,104 @@ def se3_gram_batch(
       img1_pool, gx1_pool, gy1_pool)
 
 
+def _se3_warp_kernel(band: int, H: int, W: int, tw: int,
+                     src_ref, dst_ref, act_ref, p_ref,
+                     img0_ref, dpt_ref, img1_ref,
+                     warped_ref, g_ref, acc_refs):
+    """Fused warp render (cu_se3aligner.cpp kernel_warp_calculate :37-75):
+    writes img1 sampled at each img0 pixel's correspondence (0 where
+    invalid) and accumulates the unweighted residual/inlier stats
+    G = [[Σr², ·], [·, Σvalid]]."""
+    pp = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    warped_ref[:] = jnp.zeros_like(warped_ref)
+
+    @pl.when(act_ref[pp] != 0)
+    def _():
+        xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 1).astype(
+            jnp.float32) + (j * tw).astype(jnp.float32)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0).astype(
+            jnp.float32) + (i * TILE_H).astype(jnp.float32)
+
+        sc = _load_scalars(p_ref, pp)
+        dpt = dpt_ref[0]
+        x1, y1, valid, iz, u, v, tptx, tpty, tptz = _correspondence(
+            sc, xs, ys, dpt, H, W)
+        cover = _band_sample3((img1_ref,), acc_refs, x1, y1, H, W, tw, band)
+        i1 = acc_refs[0][:]
+        valid = valid & cover
+        validf = valid.astype(jnp.float32)
+
+        warped_ref[0] = jnp.where(valid, i1, 0.0)
+        r = jnp.where(valid, img0_ref[0] - i1, 0.0)
+        _accumulate_gram(g_ref, [r, validf], tw)
+
+
+@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+def se3_warp_batch(
+    params: Array,     # [P, PARAM_DIM] (make_sfm_params)
+    src: Array,        # [P] int32 slot into img0/dpt pools
+    dst: Array,        # [P] int32 slot into the img1 pool
+    img0_pool: Array,  # [K, H, W]
+    dpt_pool: Array,   # [K, H, W]
+    img1_pool: Array,  # [K1, H, W]
+    active: Array = None,
+    band: int = 24,
+    interpret: bool = False,
+):
+    """Fused warp render: returns (warped [P, H, W], residual [P],
+    inliers [P]) matching ops.dense_sfm.se3_warp semantics."""
+    P = src.shape[0]
+    K, H, W = img0_pool.shape
+    tw = min(TILE_W, W)
+    grid = (P, H // TILE_H, W // tw)
+    if active is None:
+        active = jnp.ones((P,), jnp.int32)
+    active = active.astype(jnp.int32)
+
+    def tile_src(p, i, j, src_ref, dst_ref, act_ref):
+        return (src_ref[p], i, j)
+
+    def plane_dst(p, i, j, src_ref, dst_ref, act_ref):
+        return (dst_ref[p], 0, 0)
+
+    kernel = functools.partial(_se3_warp_kernel, band, H, W, tw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P, PARAM_DIM), lambda p, i, j, s, d, a: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_H, tw), lambda p, i, j, s, d, a: (p, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 2), lambda p, i, j, s, d, a: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[[pltpu.VMEM((TILE_H, tw), jnp.float32)]],
+    )
+    warped, G = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((P, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((P, 2, 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(src, dst, active, params, img0_pool, dpt_pool, img1_pool)
+    return warped, G[:, 0, 0], G[:, 1, 1]
+
+
 def system_from_gram(G: Array, j_pose0: Array, j_pose1: Array, CS: int):
     """Expand Gram stacks into reference-layout GN systems.
 

@@ -208,17 +208,30 @@ class DeepFactors:
         self._refresh_tracker_keyframe()
         toc("mapping")
 
+    def set_source_camera(self, src) -> None:
+        """Declare the raw camera (io.preprocess.SourceCamera): frames are
+        then undistorted + remapped to this system's trained camera in
+        preprocess_image — the reference builds this map once in Init
+        (deepfactors.cpp:634-646)."""
+        from .io import preprocess as pp
+
+        self._remap = pp.build_remap(
+            src, float(self.cam.fx), float(self.cam.fy),
+            float(self.cam.u0), float(self.cam.v0),
+            self.cfg.mapper.width, self.cfg.mapper.height,
+        )
+
     def preprocess_image(self, img) -> np.ndarray:
         """PreprocessImage (deepfactors.cpp:634-680): grayscale float [0,1]
-        resized to the network resolution. Undistortion/remap to trained
-        intrinsics happens in the dataset drivers (io/)."""
-        img = np.asarray(img)
-        if img.ndim == 3:
-            img = img @ np.asarray([0.114, 0.587, 0.299], img.dtype)  # BGR
-        if img.dtype == np.uint8:
-            img = img.astype(np.float32) / 255.0
+        undistorted/remapped to the trained camera when a source camera was
+        declared (set_source_camera), else resized."""
+        from .io import preprocess as pp
+
+        img = pp.to_gray_float(img)
         H, W = self.cfg.mapper.height, self.cfg.mapper.width
-        if img.shape != (H, W):
+        if getattr(self, "_remap", None) is not None:
+            img = pp.remap_bilinear(img, *self._remap)
+        elif img.shape != (H, W):
             import cv2
 
             img = cv2.resize(img.astype(np.float32), (W, H),

@@ -37,6 +37,8 @@ def save_checkpoint(path: str, system) -> None:
     for name, tree in (
         ("map_state", m.state),
         ("frames", m.frames),
+        ("marginals", m.marginals),
+        ("dprior", m.dprior),
         ("tracker_pose", (system.tracker.pose_ck.q, system.tracker.pose_ck.t)),
         ("pose_wc", (system.pose_wc.q, system.pose_wc.t)),
     ):
@@ -93,6 +95,10 @@ def load_checkpoint(path: str, system) -> None:
 
     m.state = restore("map_state", m.state)
     m.frames = restore("frames", m.frames)
+    if "marginals__0" in data:
+        m.marginals = restore("marginals", m.marginals)
+    if "dprior__0" in data:
+        m.dprior = restore("dprior", m.dprior)
     tq, tt = restore("tracker_pose",
                      (system.tracker.pose_ck.q, system.tracker.pose_ck.t))
     system.tracker.pose_ck = SE3(tq, tt)

@@ -50,9 +50,15 @@ def main(argv):
             input_height=int(flags.get("input_height", 192)),
         )
     H, W = netcfg.input_height, netcfg.input_width
-    sx, sy = W / W0, H / H0
-    cam = PinholeCamera.create(fx=fx * sx, fy=fy * sy, u0=u0 * sx,
-                               v0=v0 * sy, width=W, height=H)
+    if netcfg.fx > 0:
+        # the network was trained at specific intrinsics: remap every frame
+        # to them (deepfactors.cpp:634-646)
+        cam = PinholeCamera.create(fx=netcfg.fx, fy=netcfg.fy, u0=netcfg.u0,
+                                   v0=netcfg.v0, width=W, height=H)
+    else:
+        sx, sy = W / W0, H / H0
+        cam = PinholeCamera.create(fx=fx * sx, fy=fy * sy, u0=u0 * sx,
+                                   v0=v0 * sy, width=W, height=H)
 
     sys_cfg = cfgm.build_system_config(flags, H, W)
 
@@ -70,6 +76,17 @@ def main(argv):
         ), params=params)
 
     df = DeepFactors(sys_cfg, cam, decoder=decoder)
+    src_sig = (float(fx), float(fy), float(u0), float(v0), int(W0), int(H0))
+    net_sig = (float(cam.fx), float(cam.fy), float(cam.u0), float(cam.v0),
+               int(W), int(H))
+    if src_sig != net_sig:
+        from deepfactors_tpu.io.preprocess import SourceCamera
+
+        dist = None
+        if "camera_distortion" in flags:
+            dist = [float(x) for x in
+                    flags["camera_distortion"].split(",")]
+        df.set_source_camera(SourceCamera(fx, fy, u0, v0, W0, H0, dist))
 
     os.makedirs(log_dir, exist_ok=True)
     cfgm.save_run_flags(log_dir, flags)

@@ -149,3 +149,53 @@ def test_frame_marginalization_folds_prior(cfg):
     while m.has_work():
         m.mapping_step()
     assert np.all(np.isfinite(np.asarray(m.state.pose.t)))
+
+
+def test_depth_prior_pulls_code_to_target_depth():
+    """DepthPriorFactor equivalent (depth_prior_factor.cpp:83-123): with a
+    flat synthetic decoder (prx = 0.5 + 0.1*code[0]) and zero photometric
+    signal (identical images, identity poses), the GT-depth prior must pull
+    the code so the decoded depth matches the target."""
+    CS2 = 2
+    cfg2 = MapperConfig(
+        max_keyframes=2, max_frames=1, max_factors=4, code_size=CS2,
+        height=H, width=W, pyramid_levels=2, pho_iters=(6, 6),
+        huber_delta=0.3, connection_mode="LASTN", max_back_connections=1,
+        lm_lambda=1e-4, use_schur=False,
+        use_depth_prior=True, dpt_prior_sigma=0.05, code_prior=100.0,
+    )
+    cam = PinholeCamera.create(fx=60.0, fy=60.0, u0=W / 2, v0=H / 2,
+                               width=W, height=H)
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = jnp.asarray(0.5 + 0.2 * np.sin(xs / 5) * np.cos(ys / 4))
+
+    m = Mapper(cfg2, cam, decoder=None)
+    img_pyr = ip.build_pyramid(img, 2)
+    grad_pyr = ip.build_gradient_pyramid(img_pyr)
+    prx0 = tuple(jnp.full_like(im, 0.5) for im in img_pyr)
+    jac = tuple(
+        jnp.stack([jnp.full_like(im, 0.1), jnp.zeros_like(im)], axis=-1)
+        for im in img_pyr
+    )
+    stdev = tuple(jnp.zeros_like(im) for im in img_pyr)
+    code0 = jnp.zeros((CS2,), jnp.float32)
+    pyramids = (img_pyr, grad_pyr, prx0, jac, stdev, code0, None)
+
+    p0 = se3m.identity()
+    s0 = m.add_keyframe_to_map(img, p0, pyramids=pyramids)
+    s1 = m.add_keyframe_to_map(img, p0, pyramids=pyramids)
+    m._anchor_pose = p0
+    m._add_photo_pair(s0, s1)
+
+    target = np.full((H, W), 2.5, np.float32)
+    m.set_depth_prior(s0, target)
+    m.set_depth_prior(s1, target)
+    while m.has_work():
+        m.mapping_step()
+    m.update_map()
+
+    dpt = np.asarray(m.state.levels[0].dpt[s0])
+    assert abs(float(np.mean(dpt)) - 2.5) < 0.05, float(np.mean(dpt))
+    # prx = 0.5 + 0.1*c0 = 2/(2+2.5) => c0 ≈ -0.555
+    c0 = float(m.state.code[s0, 0])
+    assert abs(c0 - (2.0 / 4.5 - 0.5) / 0.1) < 0.1, c0

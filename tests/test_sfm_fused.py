@@ -192,3 +192,38 @@ def test_active_mask_zeroes_inactive():
         jnp.asarray(grads[..., 1]), active=act, interpret=on_cpu))
     assert np.all(Gse3[1] == 0) and np.all(Gse3[3] == 0)
     assert np.any(Gse3[0] != 0)
+
+
+def test_se3_warp_matches_reference():
+    """Fused warp render vs ops.dense_sfm.se3_warp
+    (cu_se3aligner.cpp kernel_warp_calculate :37-75)."""
+    CS, K, P = 4, 3, 3
+    H, W = 48, 64
+    cam, imgs, grads, jac, codes, dpt, poses, src, dst = make_problem(
+        H, W, CS, K, P, seed=11)
+    pose_10 = jax.vmap(se3m.relative_pose)(
+        SE3(poses.q[dst], poses.t[dst]), SE3(poses.q[src], poses.t[src]))
+    kp = sk.make_sfm_params(pose_10, cam, 1, 0.0, 0.1, 2.0)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    warped, res, inl = sk.se3_warp_batch(
+        kp, src, dst, jnp.asarray(imgs), jnp.asarray(dpt),
+        jnp.asarray(imgs), interpret=on_cpu)
+
+    prev = ds.use_pallas_warp()
+    ds.use_pallas_warp(False)
+    try:
+        for p in range(P):
+            p10 = SE3(pose_10.q[p], pose_10.t[p])
+            w_ref, stats = ds.se3_warp(
+                p10, cam, jnp.asarray(imgs[src[p]]),
+                jnp.asarray(imgs[dst[p]]), jnp.asarray(dpt[src[p]]))
+            np.testing.assert_allclose(np.asarray(inl[p]),
+                                       np.asarray(stats.inliers))
+            atol = 1e-5 if on_cpu else 1e-3
+            np.testing.assert_allclose(np.asarray(warped[p]),
+                                       np.asarray(w_ref), atol=atol)
+            np.testing.assert_allclose(np.asarray(res[p]),
+                                       np.asarray(stats.residual),
+                                       rtol=1e-3, atol=1e-5)
+    finally:
+        ds.use_pallas_warp(prev)
