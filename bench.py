@@ -23,6 +23,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from deepfactors_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from deepfactors_tpu.geometry import se3 as se3m
     from deepfactors_tpu.geometry.camera import PinholeCamera
     from deepfactors_tpu.mapping.mapper import Mapper, MapperConfig

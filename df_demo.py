@@ -28,6 +28,10 @@ def main(argv):
     from deepfactors_tpu.utils.timing import enable_timing, timing_summary
 
     flags = cfgm.parse_args(argv)
+    if flags.get("compilation_cache", "true").lower() != "false":
+        from deepfactors_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache(flags.get("compilation_cache_dir"))
     source = flags.get("source", "synthetic://256x192:30")
     log_dir = flags.get("log_dir", os.path.join("/tmp", "df_run"))
     init_on_start = flags.get("init_on_start", "true").lower() != "false"

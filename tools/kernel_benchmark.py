@@ -57,6 +57,9 @@ def main(argv):
     p0 = se3m.identity()
 
     print(f"problem: {W}x{H} CS={CS} on {jax.devices()[0]}")
+    print("note: per-dispatch host latency (~1-8 ms over a tunneled chip) "
+          "floors single-shot numbers; deltas across batch sizes reflect "
+          "true device cost")
     print(f"{'op':<34}{'batch':>6}{'ms':>10}{'ms/item':>10}")
 
     for B in (1, 2, 4, 8, 16):
@@ -100,18 +103,53 @@ def main(argv):
     print(f"{'sobel_gradients':<34}{1:>6}{bench(sobel):>10.3f}")
     print(f"{'update_depth (code->dpt)':<34}{1:>6}{bench(upd):>10.3f}")
 
-    # Pallas kernels (when available)
-    try:
+    # fused Pallas Gram kernels (sfm_kernel.py) — the production hot path
+    if H % 8 == 0 and W % min(128, W) == 0:
         from deepfactors_tpu.ops.pallas import sfm_kernel as pk
 
-        @jax.jit
-        def pallas_step():
-            return pk.sfm_step_pallas(p0, p0, jnp.zeros(CS), cam, img0, img1,
-                                      dpt0, std0, jac0, grad1, params)[0].JtJ
+        K = 5
+        imgs = jnp.stack([img0] * K)
+        dpts = jnp.stack([dpt0] * K)
+        jacT = jnp.stack([jnp.transpose(jac0, (2, 0, 1))] * K)
+        gxs = jnp.stack([grad1[..., 0]] * K)
+        gys = jnp.stack([grad1[..., 1]] * K)
+        on_cpu = jax.devices()[0].platform == "cpu"
+        for B in (1, 8, 16):
+            src = jnp.asarray(np.arange(B) % K, jnp.int32)
+            dst = jnp.asarray((np.arange(B) + 1) % K, jnp.int32)
+            kp = pk.make_sfm_params(
+                SE3(jnp.tile(p0.q, (B, 1)), jnp.tile(p0.t, (B, 1))),
+                cam, 2, 0.0, 0.3, 2.0)
 
-        print(f"{'sfm_step PALLAS':<34}{1:>6}{bench(pallas_step):>10.3f}")
-    except (ImportError, AttributeError):
-        print("(pallas sfm kernel not available)")
+            @jax.jit
+            def sfm_gram():
+                return pk.sfm_gram_batch(kp, src, dst, imgs, dpts, jacT,
+                                         imgs, gxs, gys, interpret=on_cpu)
+
+            @jax.jit
+            def se3_gram():
+                return pk.se3_gram_batch(kp, src, dst, imgs, dpts,
+                                         imgs, gxs, gys, interpret=on_cpu)
+
+            ms = bench(sfm_gram)
+            print(f"{'sfm_gram_batch PALLAS':<34}{B:>6}{ms:>10.3f}"
+                  f"{ms / B:>10.3f}")
+            ms = bench(se3_gram)
+            print(f"{'se3_gram_batch PALLAS':<34}{B:>6}{ms:>10.3f}"
+                  f"{ms / B:>10.3f}")
+
+        src = jnp.zeros((1,), jnp.int32)
+        kp = pk.make_sfm_params(SE3(p0.q[None], p0.t[None]), cam, 1, 0.0,
+                                0.1, 2.0)
+
+        @jax.jit
+        def warp():
+            return pk.se3_warp_batch(kp, src, src, imgs[:1], dpts[:1],
+                                     imgs[:1], interpret=on_cpu)
+
+        print(f"{'se3_warp_batch PALLAS':<34}{1:>6}{bench(warp):>10.3f}")
+    else:
+        print("(image shape not tile-aligned; fused kernels skipped)")
     return 0
 
 
