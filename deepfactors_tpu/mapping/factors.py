@@ -151,6 +151,16 @@ def photometric_error_batch(
     pose0 = ms.poses_of(state, src)
     pose1 = ms.poses_of(state, dst)
 
+    H, W = lvl.img.shape[1:]
+    if _fused_ok(H, W):
+        from ..geometry import se3 as se3m
+        from ..ops.pallas import sfm_kernel as sk
+
+        pose_10 = jax.vmap(se3m.relative_pose)(pose1, pose0)
+        kp = sk.make_sfm_params(pose_10, cam_level, 1, 0.0,
+                                params.huber_delta, params.avg_dpt)
+        return sk.sfm_error_batch(kp, src, dst, lvl.img, lvl.dpt, lvl.img)
+
     def one(p0q, p0t, p1q, p1t, img0, img1, dpt0, std0, grad1):
         return ds.sfm_evaluate_error(
             SE3(p0q, p0t), SE3(p1q, p1t), cam_level,

@@ -473,6 +473,94 @@ def se3_gram_batch(
       img1_pool, gx1_pool, gy1_pool)
 
 
+def _sfm_error_kernel(band: int, H: int, W: int, tw: int,
+                      src_ref, dst_ref, act_ref, p_ref,
+                      img0_ref, dpt_ref,
+                      img1_ref, g_ref, acc_refs):
+    """Fused residual/inlier evaluation (SfmAligner::EvaluateError,
+    cu_sfmaligner.cpp:72-97 / dense_sfm.h:72-119): Huber-weighted residual
+    only, G = [[Σ(w·r)², ·], [·, Σvalid]]."""
+    pp = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    @pl.when(act_ref[pp] != 0)
+    def _():
+        xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 1).astype(
+            jnp.float32) + (j * tw).astype(jnp.float32)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0).astype(
+            jnp.float32) + (i * TILE_H).astype(jnp.float32)
+
+        sc = _load_scalars(p_ref, pp)
+        huber_delta = sc[18]
+        dpt = dpt_ref[0]
+        x1, y1, valid, iz, u, v, tptx, tpty, tptz = _correspondence(
+            sc, xs, ys, dpt, H, W)
+        cover = _band_sample3((img1_ref,), acc_refs, x1, y1, H, W, tw, band)
+        i1 = acc_refs[0][:]
+        valid = valid & cover
+
+        r = img0_ref[0] - i1
+        wv = _huber_wv(r, valid, huber_delta)
+        _accumulate_gram(g_ref, [wv * r, valid.astype(jnp.float32)], tw)
+
+
+@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+def sfm_error_batch(
+    params: Array,     # [P, PARAM_DIM] (make_sfm_params)
+    src: Array,        # [P] int32 slot into img0/dpt pools
+    dst: Array,        # [P] int32 slot into the img1 pool
+    img0_pool: Array,  # [K, H, W]
+    dpt_pool: Array,   # [K, H, W]
+    img1_pool: Array,  # [K1, H, W]
+    active: Array = None,
+    band: int = 24,
+    interpret: bool = False,
+):
+    """Fused photometric error evaluation: returns (residual [P],
+    inliers [P]) matching ops.dense_sfm.sfm_evaluate_error."""
+    P = src.shape[0]
+    K, H, W = img0_pool.shape
+    tw = min(TILE_W, W)
+    grid = (P, H // TILE_H, W // tw)
+    if active is None:
+        active = jnp.ones((P,), jnp.int32)
+    active = active.astype(jnp.int32)
+
+    def tile_src(p, i, j, src_ref, dst_ref, act_ref):
+        return (src_ref[p], i, j)
+
+    def plane_dst(p, i, j, src_ref, dst_ref, act_ref):
+        return (dst_ref[p], 0, 0)
+
+    kernel = functools.partial(_sfm_error_kernel, band, H, W, tw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P, PARAM_DIM), lambda p, i, j, s, d, a: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, 2), lambda p, i, j, s, d, a: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[[pltpu.VMEM((TILE_H, tw), jnp.float32)]],
+    )
+    G = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, 2, 2), jnp.float32),
+        interpret=interpret,
+    )(src, dst, active, params, img0_pool, dpt_pool, img1_pool)
+    return G[:, 0, 0], G[:, 1, 1]
+
+
 def _se3_warp_kernel(band: int, H: int, W: int, tw: int,
                      src_ref, dst_ref, act_ref, p_ref,
                      img0_ref, dpt_ref, img1_ref,

@@ -227,3 +227,35 @@ def test_se3_warp_matches_reference():
                                        rtol=1e-3, atol=1e-5)
     finally:
         ds.use_pallas_warp(prev)
+
+
+def test_sfm_error_matches_reference():
+    """Fused eval kernel vs ops.dense_sfm.sfm_evaluate_error
+    (SfmAligner::EvaluateError, cu_sfmaligner.cpp:72-97)."""
+    CS, K, P = 4, 3, 4
+    H, W = 48, 64
+    cam, imgs, grads, jac, codes, dpt, poses, src, dst = make_problem(
+        H, W, CS, K, P, seed=13)
+    params = ds.SfmParams(huber_delta=0.1, avg_dpt=2.0, min_dpt=0.01,
+                          valid_border=2)
+    pose_10 = jax.vmap(se3m.relative_pose)(
+        SE3(poses.q[dst], poses.t[dst]), SE3(poses.q[src], poses.t[src]))
+    kp = sk.make_sfm_params(pose_10, cam, 1, 0.0, params.huber_delta,
+                            params.avg_dpt)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    res, inl = sk.sfm_error_batch(
+        kp, src, dst, jnp.asarray(imgs), jnp.asarray(dpt),
+        jnp.asarray(imgs), interpret=on_cpu)
+
+    for p in range(P):
+        ref = ds.sfm_evaluate_error(
+            SE3(poses.q[src[p]], poses.t[src[p]]),
+            SE3(poses.q[dst[p]], poses.t[dst[p]]), cam,
+            jnp.asarray(imgs[src[p]]), jnp.asarray(imgs[dst[p]]),
+            jnp.asarray(dpt[src[p]]), jnp.zeros((H, W)),
+            jnp.asarray(grads[dst[p]]), params)
+        np.testing.assert_allclose(np.asarray(inl[p]),
+                                   np.asarray(ref.inliers))
+        np.testing.assert_allclose(np.asarray(res[p]),
+                                   np.asarray(ref.residual),
+                                   rtol=1e-3, atol=1e-5)
