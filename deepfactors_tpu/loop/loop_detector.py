@@ -39,6 +39,7 @@ class LoopConfig(NamedTuple):
     min_inliers: float = 0.5       # inlier acceptance (loop_detector.cpp:160)
     iters_per_level: tuple = (10, 5, 4)
     huber_delta: float = 0.3
+    grad_mode: str = "interp"   # see TrackerConfig.grad_mode
 
 
 class LoopResult(NamedTuple):
@@ -83,7 +84,8 @@ def _make_verify_fn(cfg: LoopConfig, cam: PinholeCamera, levels: int):
                         kp, src, dstz, kf_imgs[level], kf_dpts[level],
                         cur_imgs[level][None],
                         cur_grads[level][..., 0][None],
-                        cur_grads[level][..., 1][None])
+                        cur_grads[level][..., 1][None],
+                        grad_mode=cfg.grad_mode)
                     JtJ = 0.5 * (G[:, :6, :6]
                                  + jnp.swapaxes(G[:, :6, :6], -1, -2))
                     Jtr, resid, inliers = G[:, :6, 6], G[:, 6, 6], G[:, 7, 7]
@@ -91,7 +93,8 @@ def _make_verify_fn(cfg: LoopConfig, cam: PinholeCamera, levels: int):
                     sys = jax.vmap(
                         lambda qq, tt, i0, d0: ds.se3_step(
                             SE3(qq, tt), cams[level], i0, cur_imgs[level],
-                            d0, cur_grads[level], cfg.huber_delta)
+                            d0, cur_grads[level], cfg.huber_delta,
+                            grad_mode=cfg.grad_mode)
                     )(q, t, kf_imgs[level], kf_dpts[level])
                     JtJ, Jtr = sys.JtJ, sys.Jtr
                     resid, inliers = sys.residual, sys.inliers

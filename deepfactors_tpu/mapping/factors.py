@@ -51,7 +51,7 @@ def _fused_ok(H: int, W: int) -> bool:
 def photometric_gram_pools(
     pose0, pose1, code0, src, dst, cam_level, params,
     img0_pool, dpt_pool, jacT_pool, img1_pool, gx1_pool, gy1_pool,
-    active=None,
+    active=None, grad_mode="sampled",
 ) -> FactorBatch:
     """Fused-kernel photometric batch straight from pooled keyframe tensors.
 
@@ -69,7 +69,8 @@ def photometric_gram_pools(
                             params.min_dpt, params.huber_delta,
                             params.avg_dpt)
     G = sk.sfm_gram_batch(kp, src, dst, img0_pool, dpt_pool, jacT_pool,
-                          img1_pool, gx1_pool, gy1_pool, active=active)
+                          img1_pool, gx1_pool, gy1_pool, active=active,
+                          grad_mode=grad_mode)
     JtJ, Jtr, res, inl = sk.system_from_gram(G, j_pose0, j_pose1, CS)
     return FactorBatch(JtJ, Jtr, res, inl)
 
@@ -82,6 +83,7 @@ def photometric_batch(
     cam_level: PinholeCamera,
     params: ds.SfmParams,
     active: Array = None,  # [P] fused kernel skips inactive slots (G = 0)
+    grad_mode: str = "sampled",
 ) -> FactorBatch:
     """Evaluate photometric GN systems for factor pairs (src -> dst)."""
     lvl = state.levels[level]
@@ -95,7 +97,7 @@ def photometric_batch(
             pose0, pose1, code0, src, dst, cam_level, params,
             lvl.img, lvl.dpt, lvl.jac, lvl.img,
             lvl.grad[..., 0], lvl.grad[..., 1],
-            active=active,
+            active=active, grad_mode=grad_mode,
         )
 
     sys = ds.sfm_step_batch(
@@ -104,7 +106,7 @@ def photometric_batch(
         take_rows(lvl.dpt, src), take_rows(lvl.stdev, src),
         jnp.transpose(take_rows(lvl.jac, src), (0, 2, 3, 1)),
         take_rows(lvl.grad, dst),
-        params,
+        params, grad_mode=grad_mode,
     )
     return FactorBatch(sys.JtJ, sys.Jtr, sys.residual, sys.inliers)
 

@@ -62,6 +62,10 @@ class MapperConfig(NamedTuple):
     connection_mode: str = "LASTN"  # FULL | LASTN | FIRST | LAST
     max_back_connections: int = 4
     lm_lambda: float = 1e-4        # GN damping (ISAM2 uses pure GN)
+    # photometric image-gradient source: 'interp' (exact derivative of the
+    # bilinear-sampled residual, 1-channel gathers — fastest) or 'sampled'
+    # (bilinearly sampled Sobel planes like the reference, dense_sfm.h:167/180)
+    grad_mode: str = "interp"
     use_schur: bool = True
     use_photometric: bool = True
     # reprojection factors (deepfactors_options.h:91-101)
@@ -269,7 +273,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
                 pose0, pose1, state.code[src], src, dstc, cams[level],
                 params, lvl.img, lvl.dpt, lvl.jac,
                 flv.img, flv.grad[..., 0], flv.grad[..., 1],
-                active=active,
+                active=active, grad_mode=cfg.grad_mode,
             )
         return ds.sfm_step_batch(
             pose0, pose1, state.code[src], cams[level],
@@ -277,7 +281,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
             fct.take_rows(lvl.dpt, src), fct.take_rows(lvl.stdev, src),
             jnp.transpose(fct.take_rows(lvl.jac, src), (0, 2, 3, 1)),
             fct.take_rows(flv.grad, dstc),
-            params,
+            params, grad_mode=cfg.grad_mode,
         )
 
     def rep_systems(state, rep):
@@ -353,7 +357,8 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
             kk = at_l & ~pool_isf
             kfm = at_l & pool_isf
             batch = fct.photometric_batch(
-                state, pool_src, pool_dst, l, cams[l], params, active=kk
+                state, pool_src, pool_dst, l, cams[l], params, active=kk,
+                grad_mode=cfg.grad_mode,
             )
             idx_kk = sysm.factor_slot_indices(pool_src, pool_dst, K, CS)
             all_H.append(batch.JtJ); all_b.append(batch.Jtr)
@@ -824,7 +829,7 @@ class Mapper:
                 state.code[kf], cams[level],
                 lvl.img[kf], flv.img[fslot], lvl.dpt[kf], lvl.stdev[kf],
                 jnp.transpose(lvl.jac[kf], (1, 2, 0)), flv.grad[fslot],
-                params,
+                params, grad_mode=cfg.grad_mode,
             )
             return mg.schur_marginalize_frame(sys.JtJ, sys.Jtr, cfg.code_size)
 
@@ -873,20 +878,21 @@ class Mapper:
         fr_mask = jnp.ones((self.cfg.max_frames,), bool)
         anchor = self.kf_slots[0] if self.kf_slots else 0
 
+        pool = self._compact_pool()
         rep = {k: jnp.asarray(v) for k, v in self.rep_pool._asdict().items()}
         geo = {k: jnp.asarray(v) for k, v in self.geo_pool._asdict().items()}
         self.state, self.frames, stats = self._run_fn(
             self.state, self.frames,
-            jnp.asarray(self.pool.src), jnp.asarray(self.pool.dst),
-            jnp.asarray(self.pool.dst_is_frame), jnp.asarray(self.pool.level),
-            jnp.asarray(self.pool.active),
+            jnp.asarray(pool.src), jnp.asarray(pool.dst),
+            jnp.asarray(pool.dst_is_frame), jnp.asarray(pool.level),
+            jnp.asarray(pool.active),
             rep, geo, self.marginals, self.dprior,
             kf_mask, fr_mask,
             jnp.asarray(anchor, jnp.int32),
             self._anchor_pose.q, self._anchor_pose.t,
             jnp.asarray(self.cfg.lm_lambda, jnp.float32),
             jnp.asarray(budget, jnp.int32), levels_present,
-            bool(np.any(self.pool.active & self.pool.dst_is_frame)),
+            bool(np.any(pool.active & pool.dst_is_frame)),
         )
         iters_done_f, last_delta = jax.device_get(stats)
         iters_done = max(1, int(iters_done_f))
@@ -894,6 +900,30 @@ class Mapper:
 
         self.sched.update(
             iters_done, self.last_max_delta < self.cfg.relin_threshold
+        )
+
+    def _compact_pool(self) -> FactorPool:
+        """Compact active photo factors into a power-of-two-sized prefix.
+
+        The fused Gram kernel skips inactive slots' compute but still pays
+        their block DMA and grid steps (~26% at half occupancy, measured) —
+        compaction bounds that waste. Bucketed sizes keep recompiles
+        bounded (one run-fn variant per (bucket, levels_present) pair)."""
+        pool = self.pool
+        act_idx = np.nonzero(pool.active)[0]
+        n = max(1, len(act_idx))
+        P = 4
+        while P < n:
+            P *= 2
+        P = min(P, self.cfg.max_factors)
+        sel = np.zeros(P, np.int64)
+        sel[:len(act_idx)] = act_idx
+        return FactorPool(
+            src=pool.src[sel].astype(np.int32),
+            dst=pool.dst[sel].astype(np.int32),
+            dst_is_frame=pool.dst_is_frame[sel],
+            level=pool.level[sel].astype(np.int32),
+            active=np.arange(P) < len(act_idx),
         )
 
     def has_work(self) -> bool:

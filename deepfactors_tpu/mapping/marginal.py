@@ -65,7 +65,12 @@ def schur_marginalize_frame(JtJ: Array, Jtr: Array, CS: int, damping=1e-6):
     Hee_inv = jnp.linalg.inv(Hee)
     H_marg = Hkk - Hke @ Hee_inv @ Hke.T
     b_marg = bk - Hke @ Hee_inv @ be
-    return H_marg, b_marg
+    # f32 roundoff on an ill-conditioned frame block can push the Schur
+    # complement slightly indefinite — project back to PSD (the reference's
+    # NearestPsd hardening, nearest_psd.h:28-99)
+    from ..solver.nearest_psd import clip_eigenvalues
+
+    return clip_eigenvalues(H_marg), b_marg
 
 
 def add_prior(store: MarginalStore, slot, H: Array, b: Array,

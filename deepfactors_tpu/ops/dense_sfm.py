@@ -62,10 +62,18 @@ def use_pallas_warp(enable: bool = None) -> bool:
     return _USE_PALLAS_WARP
 
 
-def _sample_img_grad_xy(img1, grad1, x1, y1, H, W):
+def _sample_img_grad_xy(img1, grad1, x1, y1, H, W, grad_mode="sampled"):
     """Sample (img, gx, gy) at warped coords x1/y1 [N] ->
     (i1 [N], gx [N], gy [N], coverage [N]). Pallas band-warp on TPU,
-    quad-packed XLA gather otherwise."""
+    quad-packed XLA gather otherwise. grad_mode='interp' returns the exact
+    gradient of the bilinear interpolant instead of sampling Sobel planes
+    (one gather for all three outputs; grad1 is ignored)."""
+    if grad_mode == "interp":
+        from .image import bilinear_sample_grad
+
+        pix1 = jnp.stack([x1, y1], axis=-1)
+        i1, gx, gy = bilinear_sample_grad(img1, pix1)
+        return i1, gx, gy, jnp.ones(x1.shape, bool)
     if use_pallas_warp() and H % 8 == 0 and W % 64 == 0:
         from .pallas.warp_kernel import bilinear_warp_planes
 
@@ -258,6 +266,7 @@ def sfm_step(
     prx_jac0: Array,  # [H, W, CS] d prox / d code
     grad1: Array,     # [H, W, 2] target image gradients
     params: SfmParams,
+    grad_mode: str = "sampled",
 ):
     """One SfM linearization: returns (SystemResult [12+CS], valid0 [H,W]).
 
@@ -275,7 +284,7 @@ def sfm_step(
     )
     # image terms at warped coords (fused Pallas band-warp on TPU)
     i1, gx, gy, coverage = _sample_img_grad_xy(
-        img1, grad1, warp.pix1x, warp.pix1y, H, W
+        img1, grad1, warp.pix1x, warp.pix1y, H, W, grad_mode
     )
     valid = warp.valid & coverage
 
@@ -310,6 +319,7 @@ def sfm_step_batch(
     jacs0: Array,     # [P, H, W, CS]
     grad1s: Array,    # [P, H, W, 2]
     params: SfmParams,
+    grad_mode: str = "sampled",
 ) -> SystemResult:
     """Batched SfM linearization over P factors.
 
@@ -324,7 +334,7 @@ def sfm_step_batch(
         poses1, poses0
     )
 
-    if use_pallas_warp() and H % 8 == 0 and W % 64 == 0:
+    if grad_mode != "interp" and use_pallas_warp() and H % 8 == 0 and W % 64 == 0:
         from .pallas.warp_kernel import dense_warp_batch, make_warp_params
 
         wp_params = make_warp_params(pose_10, cam, params.valid_border,
@@ -370,7 +380,7 @@ def sfm_step_batch(
 
     def one(q0, t0, q1, t1, c0, img0, img1, dpt0, std0, jac0, grad1):
         sys, _ = sfm_step(SE3(q0, t0), SE3(q1, t1), c0, cam, img0, img1,
-                          dpt0, std0, jac0, grad1, params)
+                          dpt0, std0, jac0, grad1, params, grad_mode)
         return sys
 
     return jax.vmap(one)(
@@ -427,6 +437,7 @@ def se3_step(
     dpt0: Array,
     grad1: Array,
     huber_delta: float,
+    grad_mode: str = "sampled",
 ) -> SystemResult:
     """One tracking GN linearization (lucas_kanade_se3.h:35-77). pose_10 maps
     keyframe (cam0) points into the live frame (cam1)."""
@@ -439,14 +450,15 @@ def se3_step(
         z = jnp.zeros((1,), jnp.int32)
         G = sk.se3_gram_batch(
             kp, z, z, img0[None], dpt0[None], img1[None],
-            grad1[..., 0][None], grad1[..., 1][None])[0]
+            grad1[..., 0][None], grad1[..., 1][None],
+            grad_mode=grad_mode)[0]
         JtJ = 0.5 * (G[:6, :6] + G[:6, :6].T)
         return SystemResult(JtJ=JtJ, Jtr=G[:6, 6],
                             residual=G[6, 6], inliers=G[7, 7])
     dpt = dpt0.reshape(-1)
     warp = _dense_warp_fields(H, W, dpt, cam, pose_10, 1, 0.0)
     i1, gx, gy, coverage = _sample_img_grad_xy(
-        img1, grad1, warp.pix1x, warp.pix1y, H, W
+        img1, grad1, warp.pix1x, warp.pix1y, H, W, grad_mode
     )
     valid = warp.valid & coverage
     A, _ = _unrolled_warp_jacobians(warp, dpt, cam, pose_10, gx, gy, 2.0)

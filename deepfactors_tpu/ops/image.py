@@ -134,6 +134,34 @@ def bilinear_sample_quad(quad: Array, pix: Array) -> Array:
     return top * (1 - wy) + bot * wy
 
 
+def bilinear_sample_grad(img: Array, pix: Array):
+    """Sample img [H, W] at float pixels pix [..., 2] and return the EXACT
+    gradient of the bilinear interpolant from the same corner values:
+    (value, dI/dx, dI/dy). One gather (quad-packing inline) services all
+    three — the XLA reference for the Pallas kernels' grad_mode='interp'
+    (ops/pallas/sfm_kernel._band_sample_interp). Matches the kernel's edge
+    convention: interpolation weights zeroed at the clamped last row/col."""
+    H, W = img.shape[-2], img.shape[-1]
+    quad = pack_bilinear_quad(img[..., None])  # [H, W, 4]
+    x = pix[..., 0]
+    y = pix[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = jnp.where(x0 >= W - 1, 0.0, x - x0)
+    wy = jnp.where(y0 >= H - 1, 0.0, y - y0)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    flat = quad.reshape(H * W, 4)
+    v = jnp.take(flat, y0i * W + x0i, axis=0)
+    v00, v01, v10, v11 = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+    top = v00 + wx * (v01 - v00)
+    bot = v10 + wx * (v11 - v10)
+    val = top + wy * (bot - top)
+    gx = (1 - wy) * (v01 - v00) + wy * (v11 - v10)
+    gy = bot - top
+    return val, gx, gy
+
+
 # ----------------------------------------------------------------------------
 # Sobel gradients (cu_image_proc.cpp:57-112)
 # ----------------------------------------------------------------------------

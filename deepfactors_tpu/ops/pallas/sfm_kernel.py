@@ -175,6 +175,197 @@ def _band_sample3(chan_refs, acc_refs, x1, y1, H, W, tw, band):
     return cover
 
 
+def _band_sample_interp(chan_ref, acc_refs, x1, y1, H, W, tw, band):
+    """Band-gathered bilinear sampling of ONE [1, H, W] plane at the warped
+    coords, returning the sample AND the exact gradient of the bilinear
+    interpolant (∂I/∂x1, ∂I/∂y1) from the same gathered corner values:
+
+        I    = Σ_d w_row(d)·(gA_d + wx·(gB_d − gA_d))
+        ∂I/∂x = Σ_d w_row(d)·(gB_d − gA_d)
+        ∂I/∂y = Σ_d v_row(d)·(gA_d + wx·(gB_d − gA_d))
+
+    with w_row(d) = [rel==d]·(1−wy) + [rel==d−1]·wy and
+    v_row(d) = [rel==d−1] − [rel==d]. One channel of gathers services all
+    three outputs — 3x fewer lane-gathers/broadcasts than sampling
+    precomputed Sobel planes (_band_sample3), and the resulting Jacobian is
+    the TRUE derivative of the discrete residual (the Sobel-sampled J of the
+    reference, dense_sfm.h:167/180, is an approximation of it).
+
+    Fills acc_refs[0..2] with (I, dIdx, dIdy); returns the coverage mask."""
+    x0f = jnp.floor(x1)
+    y0f = jnp.floor(y1)
+    wx = jnp.where(x0f >= W - 1, 0.0, x1 - x0f)
+    wy = jnp.where(y0f >= H - 1, 0.0, y1 - y0f)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    b0 = jnp.clip((jnp.min(y0) // TILE_H) * TILE_H, 0, H - band)
+    b0 = pl.multiple_of(b0, TILE_H)
+    rel = y0 - b0
+    cover = (rel >= 0) & (rel <= band - 2)
+    rmin = jnp.min(rel)
+    rmax = jnp.max(rel)
+
+    n_xb = W // tw
+    xl = [x0 - xb * tw for xb in range(n_xb)]
+    inb = [(q >= 0) & (q < tw) for q in xl]
+    xlc = [jnp.clip(q, 0, tw - 1) for q in xl]
+
+    for c in range(3):
+        acc_refs[c][:] = jnp.zeros((TILE_H, tw), jnp.float32)
+
+    for k in range(band // TILE_H):
+        lo, hi = k * TILE_H, k * TILE_H + TILE_H - 1
+
+        @pl.when((lo <= rmax + 1) & (hi >= rmin))
+        def _(k=k):
+            chunk = chan_ref[0, pl.ds(b0 + k * TILE_H, TILE_H), :]
+            rolled = pltpu.roll(chunk, W - 1, 1)
+            acc_i = acc_refs[0][:]
+            acc_gx = acc_refs[1][:]
+            acc_gy = acc_refs[2][:]
+            for r in range(TILE_H):
+                d = k * TILE_H + r
+                sel0 = (rel == d)
+                w_row = jnp.where(sel0, 1.0 - wy, 0.0)
+                v_row = jnp.where(sel0, -1.0, 0.0)
+                if d > 0:
+                    sel1 = (rel == d - 1)
+                    w_row = w_row + jnp.where(sel1, wy, 0.0)
+                    v_row = v_row + jnp.where(sel1, 1.0, 0.0)
+                for xb in range(n_xb):
+                    wv = jnp.where(inb[xb], w_row, 0.0)
+                    vv = jnp.where(inb[xb], v_row, 0.0)
+                    segA = jnp.broadcast_to(
+                        chunk[r:r + 1, xb * tw:(xb + 1) * tw], (TILE_H, tw)
+                    )
+                    segB = jnp.broadcast_to(
+                        rolled[r:r + 1, xb * tw:(xb + 1) * tw], (TILE_H, tw)
+                    )
+                    gA = jnp.take_along_axis(segA, xlc[xb], axis=1)
+                    gB = jnp.take_along_axis(segB, xlc[xb], axis=1)
+                    t = gB - gA
+                    xi = gA + wx * t
+                    acc_i = acc_i + wv * xi
+                    acc_gx = acc_gx + wv * t
+                    acc_gy = acc_gy + vv * xi
+            acc_refs[0][:] = acc_i
+            acc_refs[1][:] = acc_gx
+            acc_refs[2][:] = acc_gy
+    return cover
+
+
+_KGROUP = 4      # ks per predicated group (scalar branches cost ~100ns each)
+
+
+def _band_sample_interp_fast(chan_ref, acc_refs, x1, y1, H, W, tw, band,
+                             kmax):
+    """_band_sample_interp, restructured around the DIAGONAL form of the
+    row gather.
+
+    For destination row r the needed source row is y0 = e + r with
+    e = y0 − r: e is the warp's y-offset plus a tile constant, so its
+    in-tile spread is the warp's local y-variation — typically 0-3 rows,
+    NOT the 16-24 band rows the chunk scan sweeps. Rolling the band by
+    (b0 − emin) aligns source row (emin + k + r) with sublane r of the
+    static slice RB[k:k+8], so each k ∈ [0, spread] costs ONE pair of
+    lane-gathers per x-block instead of a scan over all band rows; k-groups
+    of 4 are predicated on the measured spread. Cover excludes pixels whose
+    offset exceeds the served range (same contract as the chunk scan's
+    band-coverage mask)."""
+    x0f = jnp.floor(x1)
+    y0f = jnp.floor(y1)
+    wx = jnp.where(x0f >= W - 1, 0.0, x1 - x0f)
+    wy = jnp.where(y0f >= H - 1, 0.0, y1 - y0f)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0)
+    e = y0 - rr
+    emin = jnp.min(e)
+    b0 = jnp.clip((emin // TILE_H) * TILE_H, 0, H - band)
+    b0 = pl.multiple_of(b0, TILE_H)
+    sh = emin - b0                   # may be negative at the top border
+    d = e - emin                     # per-pixel row offset, ≥ 0
+    # per-pixel window test: rows y0 = b0+sh+d+rr and y0+1 must sit inside
+    # the loaded band [b0, b0+band-1] (worst-case r=7 for the whole tile
+    # would wrongly drop bottom tiles where b0 clips at H-band)
+    cover = ((sh + d + rr >= 0) & (sh + d + rr + 2 <= band)
+             & (d <= kmax - 2))
+    dcap = jnp.minimum(d, kmax - 2)
+    dmax = jnp.max(jnp.where(cover, dcap, 0))
+
+    n_xb = W // tw
+    xl = [x0 - xb * tw for xb in range(n_xb)]
+    inb = [(q >= 0) & (q < tw) for q in xl]
+    xlc = [jnp.clip(q, 0, tw - 1) for q in xl]
+
+    B = chan_ref[0, pl.ds(b0, band), :]
+    # RB[p] = B[p + sh]. The roll amount b0 - emin is usually NEGATIVE;
+    # Mosaic's dynamic sublane roll silently misbehaves on negatives (the
+    # static path raises), so wrap it into [0, band) explicitly.
+    RB = pltpu.roll(B, jax.lax.rem(b0 - emin + band, band), 0)
+    RBx = pltpu.roll(RB, W - 1, 1)       # +1 lane neighbor
+
+    for c in range(3):
+        acc_refs[c][:] = jnp.zeros((TILE_H, tw), jnp.float32)
+
+    for g in range((kmax + _KGROUP - 1) // _KGROUP):
+
+        @pl.when(g * _KGROUP <= dmax + 1)
+        def _(g=g):
+            acc_i = acc_refs[0][:]
+            acc_gx = acc_refs[1][:]
+            acc_gy = acc_refs[2][:]
+            for kk in range(_KGROUP):
+                k = g * _KGROUP + kk
+                sel0 = (d == k)
+                w_row = jnp.where(sel0, 1.0 - wy, 0.0)
+                v_row = jnp.where(sel0, -1.0, 0.0)
+                if k > 0:
+                    sel1 = (d == k - 1)
+                    w_row = w_row + jnp.where(sel1, wy, 0.0)
+                    v_row = v_row + jnp.where(sel1, 1.0, 0.0)
+                Sk = RB[k:k + TILE_H]
+                Skx = RBx[k:k + TILE_H]
+                for xb in range(n_xb):
+                    wv = jnp.where(inb[xb], w_row, 0.0)
+                    vv = jnp.where(inb[xb], v_row, 0.0)
+                    gA = jnp.take_along_axis(
+                        Sk[:, xb * tw:(xb + 1) * tw], xlc[xb], axis=1)
+                    gB = jnp.take_along_axis(
+                        Skx[:, xb * tw:(xb + 1) * tw], xlc[xb], axis=1)
+                    t = gB - gA
+                    xi = gA + wx * t
+                    acc_i = acc_i + wv * xi
+                    acc_gx = acc_gx + wv * t
+                    acc_gy = acc_gy + vv * xi
+            acc_refs[0][:] = acc_i
+            acc_refs[1][:] = acc_gx
+            acc_refs[2][:] = acc_gy
+    return cover
+
+
+def _sample_planes(grad_mode, img1_ref, gx1_ref, gy1_ref, acc_refs,
+                   x1, y1, H, W, tw, band):
+    """Dispatch the band sampler: 'sampled' gathers precomputed Sobel planes
+    (reference parity, dense_sfm.h:167/180), 'interp' derives the gradient
+    from the bilinear corners (exact + 3x cheaper). Returns
+    (i1, gx, gy, cover)."""
+    if grad_mode == "interp":
+        # widen the rolled band so the served offset range matches the scan
+        # variant's coverage (the roll start loses up to 7 rows to alignment)
+        band_i = min(H, band + 16)
+        kmax = min(24, band_i - 10)
+        cover = _band_sample_interp_fast(img1_ref, acc_refs, x1, y1, H, W,
+                                         tw, band_i, kmax)
+    elif grad_mode == "interp_scan":   # chunk-scan variant (debug/fallback)
+        cover = _band_sample_interp(img1_ref, acc_refs, x1, y1, H, W, tw,
+                                    band)
+    else:
+        cover = _band_sample3((img1_ref, gx1_ref, gy1_ref), acc_refs,
+                              x1, y1, H, W, tw, band)
+    return acc_refs[0][:], acc_refs[1][:], acc_refs[2][:], cover
+
+
 def _pose_rows(sc, gx, gy, iz, tptx, tpty, tptz):
     """Gradient-contracted warp Jacobian rows A [6] w.r.t. pose_10
     (dense_sfm.h:124-201) + the projection-jacobian terms reused by the
@@ -235,14 +426,19 @@ def _accumulate_gram(g_ref, rows, tw):
 
 
 def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
-                       src_ref, dst_ref, act_ref, p_ref,
-                       img0_ref, dpt_ref, jac_ref,
-                       img1_ref, gx1_ref, gy1_ref,
-                       g_ref, acc_refs):
+                       grad_mode: str, *args):
     """Grid (P, H/8, W/tw). Accumulates G = B·Bᵀ into g_ref [R, R].
     Inactive pool slots (act_ref[p] == 0) produce a zero G and skip the
     whole VPU-bound body — pools are sized for worst case, so a mapping
-    step typically runs with half the slots masked."""
+    step typically runs with half the slots masked. grad_mode 'interp'
+    derives gradients from the bilinear corners (no Sobel plane inputs)."""
+    if grad_mode == "interp":
+        (src_ref, dst_ref, act_ref, p_ref, img0_ref, dpt_ref, jac_ref,
+         img1_ref, g_ref, acc_refs) = args
+        gx1_ref = gy1_ref = None
+    else:
+        (src_ref, dst_ref, act_ref, p_ref, img0_ref, dpt_ref, jac_ref,
+         img1_ref, gx1_ref, gy1_ref, g_ref, acc_refs) = args
     pp = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -265,11 +461,9 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
         dpt = dpt_ref[0]
         x1, y1, valid, iz, u, v, tptx, tpty, tptz = _correspondence(
             sc, xs, ys, dpt, H, W)
-        cover = _band_sample3((img1_ref, gx1_ref, gy1_ref), acc_refs,
-                              x1, y1, H, W, tw, band)
-        i1 = acc_refs[0][:]
-        gx = acc_refs[1][:]
-        gy = acc_refs[2][:]
+        i1, gx, gy, cover = _sample_planes(
+            grad_mode, img1_ref, gx1_ref, gy1_ref, acc_refs,
+            x1, y1, H, W, tw, band)
         valid = valid & cover
 
         A, (d00, d02, d11, d12) = _pose_rows(sc, gx, gy, iz,
@@ -301,7 +495,7 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("band", "interpret"))
+                   static_argnames=("band", "grad_mode", "interpret"))
 def sfm_gram_batch(
     params: Array,     # [P, PARAM_DIM] per-factor scalars (make_sfm_params)
     src: Array,        # [P] int32 source keyframe slot
@@ -310,10 +504,11 @@ def sfm_gram_batch(
     dpt_pool: Array,   # [K, H, W] materialized source depth
     jacT_pool: Array,  # [K, CS, H, W] feature-major code jacobian
     img1_pool: Array,  # [K1, H, W]
-    gx1_pool: Array,   # [K1, H, W]
-    gy1_pool: Array,   # [K1, H, W]
+    gx1_pool: Array = None,   # [K1, H, W] (unused in grad_mode='interp')
+    gy1_pool: Array = None,   # [K1, H, W]
     active: Array = None,  # [P] int32/bool; 0 slots skip compute, G = 0
     band: int = 24,
+    grad_mode: str = "sampled",
     interpret: bool = False,
 ) -> Array:
     """Fused SfM linearization: returns the Gram stack G [P, R, R],
@@ -337,22 +532,29 @@ def sfm_gram_batch(
     def smem_params(p, i, j, src_ref, dst_ref, act_ref):
         return (0, 0)
 
-    kernel = functools.partial(_sfm_system_kernel, CS, band, H, W, tw)
+    kernel = functools.partial(_sfm_system_kernel, CS, band, H, W, tw,
+                               grad_mode)
+    in_specs = [
+        pl.BlockSpec((P, PARAM_DIM), smem_params,
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CS, TILE_H, tw),
+                     lambda p, i, j, s, d, a: (s[p], 0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+    ]
+    inputs = [img0_pool, dpt_pool, jacT_pool, img1_pool]
+    if grad_mode != "interp":
+        in_specs += [
+            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+        ]
+        inputs += [gx1_pool, gy1_pool]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((P, PARAM_DIM), smem_params,
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CS, TILE_H, tw),
-                         lambda p, i, j, s, d, a: (s[p], 0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, R_ROWS, R_ROWS),
                                lambda p, i, j, s, d, a: (p, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -363,20 +565,23 @@ def sfm_gram_batch(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, R_ROWS, R_ROWS), jnp.float32),
         interpret=interpret,
-    )(src, dst, active, params, img0_pool, dpt_pool, jacT_pool,
-      img1_pool, gx1_pool, gy1_pool)
+    )(src, dst, active, params, *inputs)
     return out
 
 
-def _se3_system_kernel(band: int, H: int, W: int, tw: int,
-                       src_ref, dst_ref, act_ref, p_ref,
-                       img0_ref, dpt_ref,
-                       img1_ref, gx1_ref, gy1_ref,
-                       g_ref, acc_refs):
+def _se3_system_kernel(band: int, H: int, W: int, tw: int, grad_mode: str,
+                       *args):
     """Fused SE(3)-only tracking linearization (LucasKanadeSE3,
     lucas_kanade_se3.h:35-77 / cu_se3aligner.cpp:77-113): rows
     [-A(6) | w·r | valid], G = B·Bᵀ [8, 8]. The -A sign matches
     ops.dense_sfm.se3_step's JT = -A so G[:6, 6] IS Jtr directly."""
+    if grad_mode == "interp":
+        (src_ref, dst_ref, act_ref, p_ref, img0_ref, dpt_ref,
+         img1_ref, g_ref, acc_refs) = args
+        gx1_ref = gy1_ref = None
+    else:
+        (src_ref, dst_ref, act_ref, p_ref, img0_ref, dpt_ref,
+         img1_ref, gx1_ref, gy1_ref, g_ref, acc_refs) = args
     pp = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -398,11 +603,9 @@ def _se3_system_kernel(band: int, H: int, W: int, tw: int,
         dpt = dpt_ref[0]
         x1, y1, valid, iz, u, v, tptx, tpty, tptz = _correspondence(
             sc, xs, ys, dpt, H, W)
-        cover = _band_sample3((img1_ref, gx1_ref, gy1_ref), acc_refs,
-                              x1, y1, H, W, tw, band)
-        i1 = acc_refs[0][:]
-        gx = acc_refs[1][:]
-        gy = acc_refs[2][:]
+        i1, gx, gy, cover = _sample_planes(
+            grad_mode, img1_ref, gx1_ref, gy1_ref, acc_refs,
+            x1, y1, H, W, tw, band)
         valid = valid & cover
 
         A, _ = _pose_rows(sc, gx, gy, iz, tptx, tpty, tptz)
@@ -415,7 +618,8 @@ def _se3_system_kernel(band: int, H: int, W: int, tw: int,
         _accumulate_gram(g_ref, rows, tw)
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("band", "grad_mode", "interpret"))
 def se3_gram_batch(
     params: Array,     # [P, PARAM_DIM] per-factor scalars (make_sfm_params)
     src: Array,        # [P] int32 keyframe slot (img0/dpt pools)
@@ -423,10 +627,11 @@ def se3_gram_batch(
     img0_pool: Array,  # [K, H, W]
     dpt_pool: Array,   # [K, H, W]
     img1_pool: Array,  # [K1, H, W]
-    gx1_pool: Array,   # [K1, H, W]
-    gy1_pool: Array,   # [K1, H, W]
+    gx1_pool: Array = None,   # [K1, H, W] (unused in grad_mode='interp')
+    gy1_pool: Array = None,   # [K1, H, W]
     active: Array = None,  # [P] int32/bool; 0 slots skip compute, G = 0
     band: int = 24,
+    grad_mode: str = "sampled",
     interpret: bool = False,
 ) -> Array:
     """Fused SE(3) tracking linearization: G [P, 8, 8] with
@@ -447,19 +652,25 @@ def se3_gram_batch(
     def plane_dst(p, i, j, src_ref, dst_ref, act_ref):
         return (dst_ref[p], 0, 0)
 
-    kernel = functools.partial(_se3_system_kernel, band, H, W, tw)
+    kernel = functools.partial(_se3_system_kernel, band, H, W, tw, grad_mode)
+    in_specs = [
+        pl.BlockSpec((P, PARAM_DIM), lambda p, i, j, s, d, a: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+    ]
+    inputs = [img0_pool, dpt_pool, img1_pool]
+    if grad_mode != "interp":
+        in_specs += [
+            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
+        ]
+        inputs += [gx1_pool, gy1_pool]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((P, PARAM_DIM), lambda p, i, j, s, d, a: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 8, 8), lambda p, i, j, s, d, a: (p, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[[pltpu.VMEM((TILE_H, tw), jnp.float32)] * 3],
@@ -469,8 +680,7 @@ def se3_gram_batch(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, 8, 8), jnp.float32),
         interpret=interpret,
-    )(src, dst, active, params, img0_pool, dpt_pool,
-      img1_pool, gx1_pool, gy1_pool)
+    )(src, dst, active, params, *inputs)
 
 
 def _sfm_error_kernel(band: int, H: int, W: int, tw: int,

@@ -31,6 +31,10 @@ class TrackerConfig(NamedTuple):
     pyramid_levels: int = 3
     iterations_per_level: tuple = (10, 5, 4)  # finest-first like reference
     huber_delta: float = 0.3
+    # 'interp' = exact bilinear-interpolant gradient (1-channel gathers,
+    # fastest); 'sampled' = Sobel planes sampled at the warp (reference
+    # parity, lucas_kanade_se3.h:52-58)
+    grad_mode: str = "interp"
 
 
 class TrackResult(NamedTuple):
@@ -56,7 +60,7 @@ def _make_track_fn(cfg: TrackerConfig, cam: PinholeCamera):
                 q, t, _inl, _err = carry
                 sys = ds.se3_step(
                     SE3(q, t), cams[level], img0, img1, dpt0, grad1,
-                    cfg.huber_delta,
+                    cfg.huber_delta, grad_mode=cfg.grad_mode,
                 )
                 new_pose = ds.se3_solve_and_update(
                     sys.JtJ, sys.Jtr, SE3(q, t), damping=1e-8
