@@ -108,10 +108,11 @@ def _correspondence(sc, xs, ys, dpt, H, W):
     return x1, y1, valid, iz, u, v, tptx, tpty, tptz
 
 
-def _band_sample3(chan_refs, acc_refs, x1, y1, H, W, tw, band):
+def _band_sample3(chan_refs, acc_refs, x1, y1, H, W, tw, band, bh=TILE_H):
     """Band-gathered bilinear sampling of 3 co-located [1, H, W] planes at
     the warped coords (band strategy: ops/pallas/warp_kernel.py). Fills
-    acc_refs[c] with the samples; returns the band-coverage mask."""
+    acc_refs[c] with the samples; returns the band-coverage mask. bh is the
+    block height (rows per grid step; x1/y1/acc are [bh, tw])."""
     x0f = jnp.floor(x1)
     y0f = jnp.floor(y1)
     wx = jnp.where(x0f >= W - 1, 0.0, x1 - x0f)
@@ -138,7 +139,7 @@ def _band_sample3(chan_refs, acc_refs, x1, y1, H, W, tw, band):
     # computed once and shared by all channels.
     nchan = len(chan_refs)
     for c in range(nchan):
-        acc_refs[c][:] = jnp.zeros((TILE_H, tw), jnp.float32)
+        acc_refs[c][:] = jnp.zeros((bh, tw), jnp.float32)
 
     for k in range(band // TILE_H):
         lo, hi = k * TILE_H, k * TILE_H + TILE_H - 1
@@ -161,11 +162,11 @@ def _band_sample3(chan_refs, acc_refs, x1, y1, H, W, tw, band):
                     for c in range(nchan):
                         segA = jnp.broadcast_to(
                             chunks[c][r:r + 1, xb * tw:(xb + 1) * tw],
-                            (TILE_H, tw),
+                            (bh, tw),
                         )
                         segB = jnp.broadcast_to(
                             rolled[c][r:r + 1, xb * tw:(xb + 1) * tw],
-                            (TILE_H, tw),
+                            (bh, tw),
                         )
                         gA = jnp.take_along_axis(segA, xlc[xb], axis=1)
                         gB = jnp.take_along_axis(segB, xlc[xb], axis=1)
@@ -175,7 +176,8 @@ def _band_sample3(chan_refs, acc_refs, x1, y1, H, W, tw, band):
     return cover
 
 
-def _band_sample_interp(chan_ref, acc_refs, x1, y1, H, W, tw, band):
+def _band_sample_interp(chan_ref, acc_refs, x1, y1, H, W, tw, band,
+                        bh=TILE_H):
     """Band-gathered bilinear sampling of ONE [1, H, W] plane at the warped
     coords, returning the sample AND the exact gradient of the bilinear
     interpolant (∂I/∂x1, ∂I/∂y1) from the same gathered corner values:
@@ -211,7 +213,7 @@ def _band_sample_interp(chan_ref, acc_refs, x1, y1, H, W, tw, band):
     xlc = [jnp.clip(q, 0, tw - 1) for q in xl]
 
     for c in range(3):
-        acc_refs[c][:] = jnp.zeros((TILE_H, tw), jnp.float32)
+        acc_refs[c][:] = jnp.zeros((bh, tw), jnp.float32)
 
     for k in range(band // TILE_H):
         lo, hi = k * TILE_H, k * TILE_H + TILE_H - 1
@@ -236,10 +238,10 @@ def _band_sample_interp(chan_ref, acc_refs, x1, y1, H, W, tw, band):
                     wv = jnp.where(inb[xb], w_row, 0.0)
                     vv = jnp.where(inb[xb], v_row, 0.0)
                     segA = jnp.broadcast_to(
-                        chunk[r:r + 1, xb * tw:(xb + 1) * tw], (TILE_H, tw)
+                        chunk[r:r + 1, xb * tw:(xb + 1) * tw], (bh, tw)
                     )
                     segB = jnp.broadcast_to(
-                        rolled[r:r + 1, xb * tw:(xb + 1) * tw], (TILE_H, tw)
+                        rolled[r:r + 1, xb * tw:(xb + 1) * tw], (bh, tw)
                     )
                     gA = jnp.take_along_axis(segA, xlc[xb], axis=1)
                     gB = jnp.take_along_axis(segB, xlc[xb], axis=1)
@@ -258,7 +260,7 @@ _KGROUP = 4      # ks per predicated group (scalar branches cost ~100ns each)
 
 
 def _band_sample_interp_fast(chan_ref, acc_refs, x1, y1, H, W, tw, band,
-                             kmax):
+                             kmax, bh=TILE_H):
     """_band_sample_interp, restructured around the DIAGONAL form of the
     row gather.
 
@@ -278,7 +280,7 @@ def _band_sample_interp_fast(chan_ref, acc_refs, x1, y1, H, W, tw, band,
     wy = jnp.where(y0f >= H - 1, 0.0, y1 - y0f)
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (bh, tw), 0)
     e = y0 - rr
     emin = jnp.min(e)
     b0 = jnp.clip((emin // TILE_H) * TILE_H, 0, H - band)
@@ -306,7 +308,7 @@ def _band_sample_interp_fast(chan_ref, acc_refs, x1, y1, H, W, tw, band,
     RBx = pltpu.roll(RB, W - 1, 1)       # +1 lane neighbor
 
     for c in range(3):
-        acc_refs[c][:] = jnp.zeros((TILE_H, tw), jnp.float32)
+        acc_refs[c][:] = jnp.zeros((bh, tw), jnp.float32)
 
     for g in range((kmax + _KGROUP - 1) // _KGROUP):
 
@@ -324,8 +326,8 @@ def _band_sample_interp_fast(chan_ref, acc_refs, x1, y1, H, W, tw, band,
                     sel1 = (d == k - 1)
                     w_row = w_row + jnp.where(sel1, wy, 0.0)
                     v_row = v_row + jnp.where(sel1, 1.0, 0.0)
-                Sk = RB[k:k + TILE_H]
-                Skx = RBx[k:k + TILE_H]
+                Sk = RB[k:k + bh]
+                Skx = RBx[k:k + bh]
                 for xb in range(n_xb):
                     wv = jnp.where(inb[xb], w_row, 0.0)
                     vv = jnp.where(inb[xb], v_row, 0.0)
@@ -345,24 +347,29 @@ def _band_sample_interp_fast(chan_ref, acc_refs, x1, y1, H, W, tw, band,
 
 
 def _sample_planes(grad_mode, img1_ref, gx1_ref, gy1_ref, acc_refs,
-                   x1, y1, H, W, tw, band):
+                   x1, y1, H, W, tw, band, bh=TILE_H):
     """Dispatch the band sampler: 'sampled' gathers precomputed Sobel planes
     (reference parity, dense_sfm.h:167/180), 'interp' derives the gradient
-    from the bilinear corners (exact + 3x cheaper). Returns
+    from the bilinear corners (exact + 3x cheaper). `band` is the warp
+    y-offset spread budget on top of the bh block rows. Returns
     (i1, gx, gy, cover)."""
+    # bands must stay 8-aligned — Mosaic's dynamic_rotate / dynamic sublane
+    # loads reject unaligned shapes
     if grad_mode == "interp":
         # widen the rolled band so the served offset range matches the scan
         # variant's coverage (the roll start loses up to 7 rows to alignment)
-        band_i = min(H, band + 16)
-        kmax = min(24, band_i - 10)
+        band_i = min(H, ((band + bh + 8 + 7) // 8) * 8)
+        kmax = min(24, band_i - bh - 2)
         cover = _band_sample_interp_fast(img1_ref, acc_refs, x1, y1, H, W,
-                                         tw, band_i, kmax)
+                                         tw, band_i, kmax, bh=bh)
     elif grad_mode == "interp_scan":   # chunk-scan variant (debug/fallback)
+        band_s = min(H, ((band + bh - TILE_H + 7) // 8) * 8)
         cover = _band_sample_interp(img1_ref, acc_refs, x1, y1, H, W, tw,
-                                    band)
+                                    band_s, bh=bh)
     else:
+        band_s = min(H, ((band + bh - TILE_H + 7) // 8) * 8)
         cover = _band_sample3((img1_ref, gx1_ref, gy1_ref), acc_refs,
-                              x1, y1, H, W, tw, band)
+                              x1, y1, H, W, tw, band_s, bh=bh)
     return acc_refs[0][:], acc_refs[1][:], acc_refs[2][:], cover
 
 
@@ -410,28 +417,30 @@ def _gram(B):
                                preferred_element_type=jnp.float32)
 
 
-def _accumulate_gram(g_ref, rows, tw):
+def _accumulate_gram(g_ref, rows, tw, bh=TILE_H):
     R_ROWS = len(rows)
-    Bs = jnp.stack(rows)  # [R, TILE_H, tw]
+    Bs = jnp.stack(rows)  # [R, bh, tw]
     if tw == TILE_W:
-        # full lane tile: merge (8, 128) -> 1024 lanes, one MXU dot per tile
-        g_ref[:] += _gram(Bs.reshape(R_ROWS, TILE_H * tw))
+        # full lane tile: merge (bh, 128) -> bh*128 lanes, one MXU dot
+        g_ref[:] += _gram(Bs.reshape(R_ROWS, bh * tw))
     else:
         # partial lane tile (coarse pyramid levels): Mosaic cannot shape-cast
-        # (8, tw<128) into lanes — contract per sublane row instead
+        # (bh, tw<128) into lanes — contract per sublane row instead
         acc = jnp.zeros((R_ROWS, R_ROWS), jnp.float32)
-        for r in range(TILE_H):
+        for r in range(bh):
             acc += _gram(Bs[:, r, :])
         g_ref[:] += acc
 
 
-def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
+def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int, bh: int,
                        grad_mode: str, *args):
-    """Grid (P, H/8, W/tw). Accumulates G = B·Bᵀ into g_ref [R, R].
+    """Grid (P, H/bh, W/tw). Accumulates G = B·Bᵀ into g_ref [R, R].
     Inactive pool slots (act_ref[p] == 0) produce a zero G and skip the
     whole VPU-bound body — pools are sized for worst case, so a mapping
     step typically runs with half the slots masked. grad_mode 'interp'
-    derives gradients from the bilinear corners (no Sobel plane inputs)."""
+    derives gradients from the bilinear corners (no Sobel plane inputs).
+    bh > 8 amortizes the ~0.4 µs/grid-step machinery cost (measured) over
+    more rows."""
     if grad_mode == "interp":
         (src_ref, dst_ref, act_ref, p_ref, img0_ref, dpt_ref, jac_ref,
          img1_ref, g_ref, acc_refs) = args
@@ -449,10 +458,10 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
 
     @pl.when(act_ref[pp] != 0)
     def _():
-        xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 1).astype(
+        xs = jax.lax.broadcasted_iota(jnp.int32, (bh, tw), 1).astype(
             jnp.float32) + (j * tw).astype(jnp.float32)
-        ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0).astype(
-            jnp.float32) + (i * TILE_H).astype(jnp.float32)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (bh, tw), 0).astype(
+            jnp.float32) + (i * bh).astype(jnp.float32)
 
         sc = _load_scalars(p_ref, pp)
         (R00, R01, R02, R10, R11, R12, R20, R21, R22, _, _, _,
@@ -463,7 +472,7 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
             sc, xs, ys, dpt, H, W)
         i1, gx, gy, cover = _sample_planes(
             grad_mode, img1_ref, gx1_ref, gy1_ref, acc_refs,
-            x1, y1, H, W, tw, band)
+            x1, y1, H, W, tw, band, bh=bh)
         valid = valid & cover
 
         A, (d00, d02, d11, d12) = _pose_rows(sc, gx, gy, iz,
@@ -491,11 +500,25 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int,
             rows.append(s * jac_ref[0, c])
         rows.append(wv * r)
         rows.append(valid.astype(jnp.float32))
-        _accumulate_gram(g_ref, rows, tw)
+        _accumulate_gram(g_ref, rows, tw, bh=bh)
+
+
+def _pick_block_h(H: int, block_h) -> int:
+    """Largest block height dividing H, leaving ≥10 band rows of warp
+    y-offset spread budget above the block (kmax > 0 in the interp sampler).
+    Grid-step machinery costs ≈0.4 µs each (measured); at 192x256 the fused
+    SfM Gram runs 446/226/154 µs for bh=8/24/96."""
+    if block_h is not None:
+        return block_h
+    for b in (96, 48, 32, 24, 16, 8):
+        if H % b == 0 and H - b >= 10:
+            return b
+    return TILE_H
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("band", "grad_mode", "interpret"))
+                   static_argnames=("band", "grad_mode", "block_h",
+                                    "interpret"))
 def sfm_gram_batch(
     params: Array,     # [P, PARAM_DIM] per-factor scalars (make_sfm_params)
     src: Array,        # [P] int32 source keyframe slot
@@ -509,6 +532,7 @@ def sfm_gram_batch(
     active: Array = None,  # [P] int32/bool; 0 slots skip compute, G = 0
     band: int = 24,
     grad_mode: str = "sampled",
+    block_h: int = None,
     interpret: bool = False,
 ) -> Array:
     """Fused SfM linearization: returns the Gram stack G [P, R, R],
@@ -518,7 +542,8 @@ def sfm_gram_batch(
     CS = jacT_pool.shape[1]
     R_ROWS = 6 + CS + 2
     tw = min(TILE_W, W)
-    grid = (P, H // TILE_H, W // tw)
+    bh = _pick_block_h(H, block_h)
+    grid = (P, H // bh, W // tw)
     if active is None:
         active = jnp.ones((P,), jnp.int32)
     active = active.astype(jnp.int32)
@@ -532,14 +557,14 @@ def sfm_gram_batch(
     def smem_params(p, i, j, src_ref, dst_ref, act_ref):
         return (0, 0)
 
-    kernel = functools.partial(_sfm_system_kernel, CS, band, H, W, tw,
+    kernel = functools.partial(_sfm_system_kernel, CS, band, H, W, tw, bh,
                                grad_mode)
     in_specs = [
         pl.BlockSpec((P, PARAM_DIM), smem_params,
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, CS, TILE_H, tw),
+        pl.BlockSpec((1, bh, tw), tile_src, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bh, tw), tile_src, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CS, bh, tw),
                      lambda p, i, j, s, d, a: (s[p], 0, i, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
@@ -558,7 +583,7 @@ def sfm_gram_batch(
         out_specs=pl.BlockSpec((1, R_ROWS, R_ROWS),
                                lambda p, i, j, s, d, a: (p, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[[pltpu.VMEM((TILE_H, tw), jnp.float32)] * 3],
+        scratch_shapes=[[pltpu.VMEM((bh, tw), jnp.float32)] * 3],
     )
     out = pl.pallas_call(
         kernel,
@@ -569,8 +594,8 @@ def sfm_gram_batch(
     return out
 
 
-def _se3_system_kernel(band: int, H: int, W: int, tw: int, grad_mode: str,
-                       *args):
+def _se3_system_kernel(band: int, H: int, W: int, tw: int, bh: int,
+                       grad_mode: str, *args):
     """Fused SE(3)-only tracking linearization (LucasKanadeSE3,
     lucas_kanade_se3.h:35-77 / cu_se3aligner.cpp:77-113): rows
     [-A(6) | w·r | valid], G = B·Bᵀ [8, 8]. The -A sign matches
@@ -592,10 +617,10 @@ def _se3_system_kernel(band: int, H: int, W: int, tw: int, grad_mode: str,
 
     @pl.when(act_ref[pp] != 0)
     def _():
-        xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 1).astype(
+        xs = jax.lax.broadcasted_iota(jnp.int32, (bh, tw), 1).astype(
             jnp.float32) + (j * tw).astype(jnp.float32)
-        ys = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, tw), 0).astype(
-            jnp.float32) + (i * TILE_H).astype(jnp.float32)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (bh, tw), 0).astype(
+            jnp.float32) + (i * bh).astype(jnp.float32)
 
         sc = _load_scalars(p_ref, pp)
         huber_delta = sc[18]
@@ -605,7 +630,7 @@ def _se3_system_kernel(band: int, H: int, W: int, tw: int, grad_mode: str,
             sc, xs, ys, dpt, H, W)
         i1, gx, gy, cover = _sample_planes(
             grad_mode, img1_ref, gx1_ref, gy1_ref, acc_refs,
-            x1, y1, H, W, tw, band)
+            x1, y1, H, W, tw, band, bh=bh)
         valid = valid & cover
 
         A, _ = _pose_rows(sc, gx, gy, iz, tptx, tpty, tptz)
@@ -615,11 +640,12 @@ def _se3_system_kernel(band: int, H: int, W: int, tw: int, grad_mode: str,
         rows = [-wv * a for a in A]
         rows.append(wv * r)
         rows.append(valid.astype(jnp.float32))
-        _accumulate_gram(g_ref, rows, tw)
+        _accumulate_gram(g_ref, rows, tw, bh=bh)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("band", "grad_mode", "interpret"))
+                   static_argnames=("band", "grad_mode", "block_h",
+                                    "interpret"))
 def se3_gram_batch(
     params: Array,     # [P, PARAM_DIM] per-factor scalars (make_sfm_params)
     src: Array,        # [P] int32 keyframe slot (img0/dpt pools)
@@ -632,6 +658,7 @@ def se3_gram_batch(
     active: Array = None,  # [P] int32/bool; 0 slots skip compute, G = 0
     band: int = 24,
     grad_mode: str = "sampled",
+    block_h: int = None,
     interpret: bool = False,
 ) -> Array:
     """Fused SE(3) tracking linearization: G [P, 8, 8] with
@@ -641,7 +668,8 @@ def se3_gram_batch(
     P = src.shape[0]
     K, H, W = img0_pool.shape
     tw = min(TILE_W, W)
-    grid = (P, H // TILE_H, W // tw)
+    bh = _pick_block_h(H, block_h)
+    grid = (P, H // bh, W // tw)
     if active is None:
         active = jnp.ones((P,), jnp.int32)
     active = active.astype(jnp.int32)
@@ -652,12 +680,13 @@ def se3_gram_batch(
     def plane_dst(p, i, j, src_ref, dst_ref, act_ref):
         return (dst_ref[p], 0, 0)
 
-    kernel = functools.partial(_se3_system_kernel, band, H, W, tw, grad_mode)
+    kernel = functools.partial(_se3_system_kernel, band, H, W, tw, bh,
+                               grad_mode)
     in_specs = [
         pl.BlockSpec((P, PARAM_DIM), lambda p, i, j, s, d, a: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TILE_H, tw), tile_src, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bh, tw), tile_src, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bh, tw), tile_src, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
     ]
     inputs = [img0_pool, dpt_pool, img1_pool]
@@ -673,7 +702,7 @@ def se3_gram_batch(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 8, 8), lambda p, i, j, s, d, a: (p, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[[pltpu.VMEM((TILE_H, tw), jnp.float32)] * 3],
+        scratch_shapes=[[pltpu.VMEM((bh, tw), jnp.float32)] * 3],
     )
     return pl.pallas_call(
         kernel,
