@@ -40,7 +40,7 @@ def main():
     cfg = MapperConfig(
         max_keyframes=N_KF, max_frames=1, max_factors=16, code_size=CS,
         height=H, width=W, pyramid_levels=L, pho_iters=(4, 8, 15),
-        connection_mode="LASTN", max_back_connections=2, use_schur=False,
+        connection_mode="LASTN", max_back_connections=2, use_schur=True,
         relin_threshold=0.0,  # benchmark: never early-exit
     )
 

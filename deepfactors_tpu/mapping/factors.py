@@ -51,13 +51,17 @@ def _fused_ok(H: int, W: int) -> bool:
 def photometric_gram_pools(
     pose0, pose1, code0, src, dst, cam_level, params,
     img0_pool, dpt_pool, jacT_pool, img1_pool, gx1_pool, gy1_pool,
-    active=None, grad_mode="sampled",
+    active=None, grad_mode="sampled", depth_from_code=False,
 ) -> FactorBatch:
     """Fused-kernel photometric batch straight from pooled keyframe tensors.
 
     One pallas_call linearizes every factor (warp + Jacobians + Gram
     reduction; ops/pallas/sfm_kernel.py) with src/dst selecting pool rows at
-    block granularity — nothing per-factor is materialized in HBM."""
+    block granularity — nothing per-factor is materialized in HBM.
+
+    depth_from_code=True: dpt_pool holds prx0 and the kernel materializes
+    depth at code0 in-kernel from the resident jac block (removes the
+    per-iteration update_depth_all pyramid pass)."""
     from ..geometry import se3 as se3m
     from ..ops.pallas import sfm_kernel as sk
 
@@ -70,6 +74,7 @@ def photometric_gram_pools(
                             params.avg_dpt)
     G = sk.sfm_gram_batch(kp, src, dst, img0_pool, dpt_pool, jacT_pool,
                           img1_pool, gx1_pool, gy1_pool, active=active,
+                          codes=code0 if depth_from_code else None,
                           grad_mode=grad_mode)
     JtJ, Jtr, res, inl = sk.system_from_gram(G, j_pose0, j_pose1, CS)
     return FactorBatch(JtJ, Jtr, res, inl)
@@ -84,6 +89,7 @@ def photometric_batch(
     params: ds.SfmParams,
     active: Array = None,  # [P] fused kernel skips inactive slots (G = 0)
     grad_mode: str = "sampled",
+    depth_from_code: bool = False,  # fused path: skip lvl.dpt, use prx0+code
 ) -> FactorBatch:
     """Evaluate photometric GN systems for factor pairs (src -> dst)."""
     lvl = state.levels[level]
@@ -95,9 +101,10 @@ def photometric_batch(
     if _fused_ok(H, W):
         return photometric_gram_pools(
             pose0, pose1, code0, src, dst, cam_level, params,
-            lvl.img, lvl.dpt, lvl.jac, lvl.img,
-            lvl.grad[..., 0], lvl.grad[..., 1],
+            lvl.img, lvl.prx0 if depth_from_code else lvl.dpt, lvl.jac,
+            lvl.img, lvl.grad[..., 0], lvl.grad[..., 1],
             active=active, grad_mode=grad_mode,
+            depth_from_code=depth_from_code,
         )
 
     sys = ds.sfm_step_batch(

@@ -256,7 +256,8 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         min_dpt=cfg.min_dpt, valid_border=cfg.valid_border,
     )
 
-    def frame_photo_batch(state, frames_, src, dst, level, active=None):
+    def frame_photo_batch(state, frames_, src, dst, level, active=None,
+                          depth_from_code=False):
         """Photometric factors whose target is a one-way frame. Pool entries
         targeting keyframes carry dst >= F — clamp before the one-hot gather
         (an out-of-range one-hot row is all-zero and would poison quaternion
@@ -271,9 +272,11 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         if fct._fused_ok(H, W):
             return fct.photometric_gram_pools(
                 pose0, pose1, state.code[src], src, dstc, cams[level],
-                params, lvl.img, lvl.dpt, lvl.jac,
+                params, lvl.img,
+                lvl.prx0 if depth_from_code else lvl.dpt, lvl.jac,
                 flv.img, flv.grad[..., 0], flv.grad[..., 1],
                 active=active, grad_mode=cfg.grad_mode,
+                depth_from_code=depth_from_code,
             )
         return ds.sfm_step_batch(
             pose0, pose1, state.code[src], cams[level],
@@ -348,8 +351,17 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         levels_present, use_frames,
     ):
         # Relinearization point: depth from current codes
-        # (PhotometricFactor::UpdateDepthMaps, photometric_factor.cpp:332-341)
-        state = ms.update_depth_all(state, cfg.avg_dpt)
+        # (PhotometricFactor::UpdateDepthMaps, photometric_factor.cpp:332-341).
+        # When every active level runs the fused Gram kernel, the kernel
+        # materializes depth in-kernel from prx0 + jacᵀ·code (the jac block
+        # is resident anyway) and the full update_depth_all pyramid pass —
+        # one whole jac-pyramid HBM read per GN iteration — is skipped.
+        H_im, W_im = cfg.height, cfg.width
+        fused_depth = ds.use_pallas_warp() and all(
+            fct._fused_ok(H_im >> l, W_im >> l) for l in levels_present
+        )
+        if not fused_depth:
+            state = ms.update_depth_all(state, cfg.avg_dpt)
 
         all_H, all_b, all_idx, all_act = [], [], [], []
         for l in levels_present:
@@ -358,14 +370,15 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
             kfm = at_l & pool_isf
             batch = fct.photometric_batch(
                 state, pool_src, pool_dst, l, cams[l], params, active=kk,
-                grad_mode=cfg.grad_mode,
+                grad_mode=cfg.grad_mode, depth_from_code=fused_depth,
             )
             idx_kk = sysm.factor_slot_indices(pool_src, pool_dst, K, CS)
             all_H.append(batch.JtJ); all_b.append(batch.Jtr)
             all_idx.append(idx_kk); all_act.append(kk)
             if F > 0 and use_frames:
                 fb = frame_photo_batch(state, frames_, pool_src, pool_dst, l,
-                                       active=kfm)
+                                       active=kfm,
+                                       depth_from_code=fused_depth)
                 pose1_idx = Dp + Dc + pool_dst[:, None] * 6 + jnp.arange(6)
                 pose0_idx = pool_src[:, None] * 6 + jnp.arange(6)
                 code_idx = Dp + pool_src[:, None] * CS + jnp.arange(CS)
@@ -435,7 +448,14 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         vmask = jnp.concatenate([pose_m, code_m, fr_m])
         gsys = sysm.mask_inactive(gsys, vmask)
 
-        if cfg.use_schur and F == 0:
+        # Schur requires block-diagonal code blocks: the sparse geometric
+        # factor couples code0-code1 across keyframes, so fall back to the
+        # dense solve when it is enabled (sparse_geometric_factor.cpp).
+        # Size heuristic (measured on v5e): one dense Cholesky beats the
+        # batched-small-Cholesky Schur pipeline below ~256 variables — both
+        # are latency-dominated, and the Schur path pays several sequential
+        # small solves. Large windows (and the distributed path) use Schur.
+        if cfg.use_schur and not cfg.use_geometric and D > 256:
             delta = sysm.solve_schur_codes(gsys, K, CS, lam)
         else:
             delta = sysm.solve_damped(gsys, lam)

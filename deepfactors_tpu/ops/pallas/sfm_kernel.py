@@ -256,7 +256,8 @@ def _band_sample_interp(chan_ref, acc_refs, x1, y1, H, W, tw, band,
     return cover
 
 
-_KGROUP = 4      # ks per predicated group (scalar branches cost ~100ns each)
+_KGROUP = 2      # ks per predicated group (scalar branches cost ~100ns each;
+                 # 2 measured faster than 4 at typical warp spreads)
 
 
 def _band_sample_interp_fast(chan_ref, acc_refs, x1, y1, H, W, tw, band,
@@ -433,21 +434,28 @@ def _accumulate_gram(g_ref, rows, tw, bh=TILE_H):
 
 
 def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int, bh: int,
-                       grad_mode: str, *args):
+                       grad_mode: str, from_prox: bool, *args):
     """Grid (P, H/bh, W/tw). Accumulates G = B·Bᵀ into g_ref [R, R].
     Inactive pool slots (act_ref[p] == 0) produce a zero G and skip the
     whole VPU-bound body — pools are sized for worst case, so a mapping
     step typically runs with half the slots masked. grad_mode 'interp'
     derives gradients from the bilinear corners (no Sobel plane inputs).
     bh > 8 amortizes the ~0.4 µs/grid-step machinery cost (measured) over
-    more rows."""
+    more rows.
+
+    from_prox=True: dpt_ref holds the zero-code proximity prx0 and the depth
+    at the CURRENT code is materialized in-kernel from the jac block that is
+    already resident (dpt = avg/clip(prx0 + jacᵀ·c) − avg, the reference's
+    UpdateDepth, cu_image_proc.cpp:248-278) — this removes the separate
+    update_depth_all pass (one full jac-pyramid read per GN iteration) from
+    the mapping hot loop."""
     if grad_mode == "interp":
-        (src_ref, dst_ref, act_ref, p_ref, img0_ref, dpt_ref, jac_ref,
-         img1_ref, g_ref, acc_refs) = args
+        (src_ref, dst_ref, act_ref, p_ref, code_ref, img0_ref, dpt_ref,
+         jac_ref, img1_ref, g_ref, acc_refs) = args
         gx1_ref = gy1_ref = None
     else:
-        (src_ref, dst_ref, act_ref, p_ref, img0_ref, dpt_ref, jac_ref,
-         img1_ref, gx1_ref, gy1_ref, g_ref, acc_refs) = args
+        (src_ref, dst_ref, act_ref, p_ref, code_ref, img0_ref, dpt_ref,
+         jac_ref, img1_ref, gx1_ref, gy1_ref, g_ref, acc_refs) = args
     pp = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -467,7 +475,14 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int, bh: int,
         (R00, R01, R02, R10, R11, R12, R20, R21, R22, _, _, _,
          _, _, _, _, _, _, huber_delta, avg_dpt) = sc
 
-        dpt = dpt_ref[0]
+        if from_prox:
+            prx = dpt_ref[0]
+            for c in range(CS):
+                prx = prx + code_ref[pp, c] * jac_ref[0, c]
+            prx = jnp.maximum(prx, 1e-4)  # map_state.update_depth_all clamp
+            dpt = avg_dpt / prx - avg_dpt
+        else:
+            dpt = dpt_ref[0]
         x1, y1, valid, iz, u, v, tptx, tpty, tptz = _correspondence(
             sc, xs, ys, dpt, H, W)
         i1, gx, gy, cover = _sample_planes(
@@ -524,12 +539,15 @@ def sfm_gram_batch(
     src: Array,        # [P] int32 source keyframe slot
     dst: Array,        # [P] int32 target slot (into the img1 pools)
     img0_pool: Array,  # [K, H, W]
-    dpt_pool: Array,   # [K, H, W] materialized source depth
+    dpt_pool: Array,   # [K, H, W] materialized depth (or prx0 with codes)
     jacT_pool: Array,  # [K, CS, H, W] feature-major code jacobian
     img1_pool: Array,  # [K1, H, W]
     gx1_pool: Array = None,   # [K1, H, W] (unused in grad_mode='interp')
     gy1_pool: Array = None,   # [K1, H, W]
     active: Array = None,  # [P] int32/bool; 0 slots skip compute, G = 0
+    codes: Array = None,   # [P, CS] per-factor code; when given, dpt_pool is
+                           # interpreted as prx0 and depth is materialized
+                           # in-kernel (saves the update_depth_all pass)
     band: int = 24,
     grad_mode: str = "sampled",
     block_h: int = None,
@@ -547,6 +565,9 @@ def sfm_gram_batch(
     if active is None:
         active = jnp.ones((P,), jnp.int32)
     active = active.astype(jnp.int32)
+    from_prox = codes is not None
+    if codes is None:
+        codes = jnp.zeros((P, CS), jnp.float32)
 
     def tile_src(p, i, j, src_ref, dst_ref, act_ref):
         return (src_ref[p], i, j)
@@ -558,10 +579,11 @@ def sfm_gram_batch(
         return (0, 0)
 
     kernel = functools.partial(_sfm_system_kernel, CS, band, H, W, tw, bh,
-                               grad_mode)
+                               grad_mode, from_prox)
     in_specs = [
         pl.BlockSpec((P, PARAM_DIM), smem_params,
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((P, CS), smem_params, memory_space=pltpu.SMEM),
         pl.BlockSpec((1, bh, tw), tile_src, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bh, tw), tile_src, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, CS, bh, tw),
@@ -569,7 +591,7 @@ def sfm_gram_batch(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),
     ]
-    inputs = [img0_pool, dpt_pool, jacT_pool, img1_pool]
+    inputs = [codes, img0_pool, dpt_pool, jacT_pool, img1_pool]
     if grad_mode != "interp":
         in_specs += [
             pl.BlockSpec((1, H, W), plane_dst, memory_space=pltpu.VMEM),

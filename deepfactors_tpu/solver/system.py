@@ -109,37 +109,69 @@ def solve_schur_codes(
 ) -> Array:
     """Solve eliminating per-keyframe code blocks by Schur complement.
 
-    The global system has pose block P [6K, 6K], code-diagonal blocks
-    C_i [CS, CS] (codes of different keyframes only couple through poses in
-    the photometric factor structure — the 44x44 factor touches one code),
-    and coupling W [6K, K*CS].
+    Variable layout [poses 6K | codes CS·K | frame poses 6F] (any F ≥ 0).
+    Codes of different keyframes only couple through poses in the
+    photometric factor structure (the 44-dim factor touches one code), so
+    the code block C is block-diagonal [K, CS, CS]. Eliminate it:
 
-    Reduced system: (P - W C^-1 W^T) dp = -(b_p - W C^-1 b_c), then
-    dc_i = -C_i^-1 (b_c_i + W_i^T dp). This is the distributed-BA unit:
-    C_i^-1 reductions are per-keyframe-local; only the 6K pose system is
-    global (SURVEY.md §7.1).
+        S  = A_xx − A_xc C⁻¹ A_cx      over x = [poses | frames]
+        dx = −S⁻¹ (b_x − A_xc C⁻¹ b_c)
+        dc = −C⁻¹ (b_c + A_cx dx)
+
+    C⁻¹ applications use one BATCHED Cholesky over the K code blocks (a
+    [K, CS, CS] lax.linalg.cholesky — ~2x faster than jnp.linalg.inv's LU,
+    measured) and the reduced solve is a (6K+6F) Cholesky instead of the
+    full D-dim one. This is the distributed-BA unit: the C-block solves are
+    per-keyframe-local; only the small pose system is global (SURVEY.md
+    §7.1, geometric-factor code-code coupling excepted — those use the
+    dense path).
     """
     Dp = 6 * K
+    Dc = CS * K
+    D = sys.H.shape[0]
+    F6 = D - Dp - Dc
     damping = lam * jnp.diag(sys.H) + 1e-8
     H = sys.H + jnp.diag(damping)
-    P = H[:Dp, :Dp]
-    W = H[:Dp, Dp:]
-    bp = sys.b[:Dp]
-    bc = sys.b[Dp:]
+    hp = jax.lax.Precision.HIGHEST
 
-    # block-diagonal code inverse: [K, CS, CS]
-    C = H[Dp:, Dp:].reshape(K, CS, K, CS)
-    Cd = jax.vmap(lambda i: jax.lax.dynamic_slice(C, (i, 0, i, 0), (1, CS, 1, CS))
-                  .reshape(CS, CS))(jnp.arange(K))
-    Cinv = jax.vmap(jnp.linalg.inv)(Cd)  # [K, CS, CS]
+    Axx = jnp.concatenate([
+        jnp.concatenate([H[:Dp, :Dp], H[:Dp, Dp + Dc:]], axis=1),
+        jnp.concatenate([H[Dp + Dc:, :Dp], H[Dp + Dc:, Dp + Dc:]], axis=1),
+    ], axis=0)                                     # [Dx, Dx]
+    Axc = jnp.concatenate([H[:Dp, Dp:Dp + Dc],
+                           H[Dp + Dc:, Dp:Dp + Dc]], axis=0)  # [Dx, Dc]
+    bx = jnp.concatenate([sys.b[:Dp], sys.b[Dp + Dc:]])
+    bc = sys.b[Dp:Dp + Dc]
+    Dx = Dp + F6
 
-    Wb = W.reshape(Dp, K, CS)
-    CinvWt = jnp.einsum("kcd,pkd->kcp", Cinv, Wb)      # [K, CS, Dp]
-    S = P - jnp.einsum("pkc,kcq->pq", Wb, CinvWt)       # [Dp, Dp]
-    Cinv_bc = jnp.einsum("kcd,kd->kc", Cinv, bc.reshape(K, CS))
-    rhs = bp - jnp.einsum("pkc,kc->p", Wb, Cinv_bc)
+    # block-diagonal code blocks: [K, CS, CS]
+    C = H[Dp:Dp + Dc, Dp:Dp + Dc].reshape(K, CS, K, CS)
+    Cd = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(C, (i, 0, i, 0), (1, CS, 1, CS))
+        .reshape(CS, CS)
+    )(jnp.arange(K))
+    Lc = jax.lax.linalg.cholesky(Cd)               # batched [K, CS, CS]
+
+    # C⁻¹ [A_cx | b_c] via two batched triangular solves
+    U = jnp.concatenate(
+        [jnp.swapaxes(Axc, 0, 1).reshape(K, CS, Dx), bc.reshape(K, CS, 1)],
+        axis=-1,
+    )
+    Y = jax.lax.linalg.triangular_solve(Lc, U, left_side=True, lower=True)
+    X = jax.lax.linalg.triangular_solve(Lc, Y, left_side=True, lower=True,
+                                        transpose_a=True)  # [K, CS, Dx+1]
+    CinvAcx = X[..., :Dx]
+    Cinv_bc = X[..., Dx]
+
+    Axc_b = Axc.reshape(Dx, K, CS)
+    S = Axx - jnp.einsum("pkc,kcq->pq", Axc_b, CinvAcx,
+                         preferred_element_type=jnp.float32, precision=hp)
+    rhs = bx - jnp.einsum("pkc,kc->p", Axc_b, Cinv_bc,
+                          preferred_element_type=jnp.float32, precision=hp)
 
     L, low = jax.scipy.linalg.cho_factor(S, lower=True)
-    dp = -jax.scipy.linalg.cho_solve((L, low), rhs)
-    dc = -(Cinv_bc + jnp.einsum("kcp,p->kc", CinvWt, dp))
-    return jnp.concatenate([dp, dc.reshape(-1)])
+    dx = -jax.scipy.linalg.cho_solve((L, low), rhs)
+    dc = -(Cinv_bc + jnp.einsum("kcp,p->kc", CinvAcx, dx,
+                                preferred_element_type=jnp.float32,
+                                precision=hp))
+    return jnp.concatenate([dx[:Dp], dc.reshape(-1), dx[Dp:]])

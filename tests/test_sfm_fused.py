@@ -259,3 +259,38 @@ def test_sfm_error_matches_reference():
         np.testing.assert_allclose(np.asarray(res[p]),
                                    np.asarray(ref.residual),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_fused_gram_depth_from_code():
+    """In-kernel depth materialization (codes= path) must match running the
+    kernel on pre-materialized depth (map_state.update_depth_all semantics:
+    dpt = avg/clip(prx0 + jacᵀ·c, 1e-4) − avg; cu_image_proc.cpp:248-278)."""
+    H, W, CS, K, P = 48, 128, 8, 4, 6
+    cam, imgs, grads, jac, codes, dpt, poses, src, dst = make_problem(
+        H, W, CS, K, P)
+    rng = np.random.RandomState(3)
+    prx0 = 0.45 + 0.1 * rng.rand(K, H, W).astype(np.float32)
+    prx = np.clip(prx0 + np.einsum("khwc,kc->khw", jac, codes), 1e-4, None)
+    dpt2 = (2.0 / prx - 2.0).astype(np.float32)
+
+    params = ds.SfmParams(huber_delta=0.1, avg_dpt=2.0, min_dpt=0.01,
+                          valid_border=2)
+    poses0 = SE3(poses.q[src], poses.t[src])
+    poses1 = SE3(poses.q[dst], poses.t[dst])
+    pose_10, j_pose1, j_pose0 = jax.vmap(se3m.relative_pose_jacobians)(
+        poses1, poses0)
+    kp = sk.make_sfm_params(pose_10, cam, params.valid_border,
+                            params.min_dpt, params.huber_delta,
+                            params.avg_dpt)
+    jacT = jnp.asarray(np.transpose(jac, (0, 3, 1, 2)))
+    on_cpu = jax.devices()[0].platform == "cpu"
+    G_ref = sk.sfm_gram_batch(
+        kp, src, dst, jnp.asarray(imgs), jnp.asarray(dpt2), jacT,
+        jnp.asarray(imgs), grad_mode="interp", interpret=on_cpu)
+    G_new = sk.sfm_gram_batch(
+        kp, src, dst, jnp.asarray(imgs), jnp.asarray(prx0), jacT,
+        jnp.asarray(imgs), codes=jnp.asarray(codes)[src],
+        grad_mode="interp", interpret=on_cpu)
+    scale = np.abs(np.asarray(G_ref)).max()
+    err = np.abs(np.asarray(G_new) - np.asarray(G_ref)).max()
+    assert err / scale < (1e-5 if on_cpu else 1e-3), f"rel err {err/scale}"
