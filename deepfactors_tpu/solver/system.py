@@ -144,12 +144,11 @@ def solve_schur_codes(
     bc = sys.b[Dp:Dp + Dc]
     Dx = Dp + F6
 
-    # block-diagonal code blocks: [K, CS, CS]
+    # block-diagonal code blocks: [K, CS, CS]. One-hot contraction instead
+    # of vmapped dynamic_slice (TPU leading-axis gathers run ~3 GB/s).
     C = H[Dp:Dp + Dc, Dp:Dp + Dc].reshape(K, CS, K, CS)
-    Cd = jax.vmap(
-        lambda i: jax.lax.dynamic_slice(C, (i, 0, i, 0), (1, CS, 1, CS))
-        .reshape(CS, CS)
-    )(jnp.arange(K))
+    Cd = jnp.einsum("kcjd,kj->kcd", C, jnp.eye(K, dtype=C.dtype),
+                    preferred_element_type=jnp.float32, precision=hp)
     Lc = jax.lax.linalg.cholesky(Cd)               # batched [K, CS, CS]
 
     # C⁻¹ [A_cx | b_c] via two batched triangular solves
