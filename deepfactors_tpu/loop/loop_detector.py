@@ -157,16 +157,21 @@ class LoopDetector:
         return -1
 
     def detect_loop(self, desc, desc_valid, cur_imgs, cur_grads,
-                    pose_cur: SE3, state, kf_order: list) -> LoopResult:
-        """Global loop detection with batched dense verification."""
-        v = vb.bow_vector(self.voc, desc, desc_valid)
+                    pose_cur: SE3, state, kf_order: list,
+                    sims_np: Optional[np.ndarray] = None) -> LoopResult:
+        """Global loop detection with batched dense verification.
+
+        ``sims_np`` may carry precomputed BoW similarities (the system's
+        fused frame probe batches them into its single round trip); the
+        active-window exclusion is applied on the host either way."""
         win = set(kf_order[-self.cfg.active_window:])
-        win_mask = np.zeros(self.db.shape[0], bool)
+        if sims_np is None:
+            v = vb.bow_vector(self.voc, desc, desc_valid)
+            sims = vb.similarity(v, self.db, self.db_valid)
+            sims_np = np.asarray(jax.device_get(sims))
+        sims_np = np.array(sims_np, copy=True)
         for s in win:
-            win_mask[s] = True
-        sims = vb.similarity(v, self.db, self.db_valid
-                             & ~jnp.asarray(win_mask))
-        sims_np = np.asarray(jax.device_get(sims))
+            sims_np[s] = -np.inf
         order = np.argsort(-sims_np)[: self.cfg.max_candidates]
         cands = [int(s) for s in order
                  if sims_np[s] >= self.cfg.min_similarity]

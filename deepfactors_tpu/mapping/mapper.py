@@ -502,7 +502,58 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
             [iters_done.astype(jnp.float32), last_delta]
         )
 
-    return run
+    @functools.partial(jax.jit, static_argnames=("segments", "use_frames"))
+    def run_segments(
+        state, frames_, pool_src, pool_dst, pool_isf, pool_level,
+        pool_active, pool_descent,
+        rep, geo, marginals, dprior,
+        kf_var_mask, frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
+        segments, use_frames,
+    ):
+        """The ENTIRE coarse-to-fine descent in one dispatch.
+
+        ``segments`` is a static tuple of (level, budget): for each, run up
+        to ``budget`` GN iterations at that pyramid level, exiting early on
+        convergence (the reference's no-relinearize descent signal,
+        mapper.cpp:535-539). Valid when every active work shares one level
+        state — then the phase-wise schedule is deterministic and the level
+        descent can happen on-device, costing ONE host round trip for the
+        whole optimization instead of one per level (each round trip through
+        the axon tunnel is ~23 ms).
+
+        ``pool_descent`` marks factors owned by the descending works; they
+        follow the segment level. Persistent factors from finished works
+        keep their own ``pool_level`` (the reference keeps converged
+        photometric factors live in ISAM2 at their final level)."""
+        seg_stats = []
+        for (lvl, budget) in segments:
+            eff_level = jnp.where(pool_descent,
+                                  jnp.full_like(pool_level, lvl), pool_level)
+            levels_present = tuple(sorted({lvl, 0}))
+
+            def cond(carry, budget=budget):
+                state, frames_, i, delta = carry
+                return (i < budget) & (delta >= cfg.relin_threshold)
+
+            def body(carry, levels_present=levels_present,
+                     eff_level=eff_level):
+                state, frames_, i, _ = carry
+                state, frames_, max_delta = gn_iteration(
+                    state, frames_, pool_src, pool_dst, pool_isf, eff_level,
+                    pool_active, rep, geo, marginals, dprior, kf_var_mask,
+                    frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
+                    levels_present, use_frames,
+                )
+                return state, frames_, i + 1, max_delta
+
+            state, frames_, it, delta = jax.lax.while_loop(
+                cond, body,
+                (state, frames_, jnp.asarray(0), jnp.asarray(jnp.inf)),
+            )
+            seg_stats.append(jnp.stack([it.astype(jnp.float32), delta]))
+        return state, frames_, jnp.stack(seg_stats)  # [S, 2]
+
+    return run, run_segments
 
 
 # ----------------------------------------------------------------------------
@@ -527,7 +578,7 @@ class Mapper:
         self.sched = make_scheduler(cfg)
         self.marginals = mg.create(cfg.max_keyframes, cfg.code_size)
         self.dprior = self._empty_dprior()
-        self._run_fn = _make_run_fn(cfg, cam)
+        self._run_fn, self._run_segments_fn = _make_run_fn(cfg, cam)
         self._rng_key = jax.random.PRNGKey(42)
         # host-side bookkeeping
         self.kf_slots: list[int] = []      # insertion order of live slots
@@ -536,6 +587,12 @@ class Mapper:
         self.n_links = 0
         self._anchor_pose: SE3 = se3m.identity()
         self.last_max_delta = float("inf")
+        # host mirrors of host-driven device flags: a device_get through the
+        # axon tunnel costs a ~23 ms round trip; these flags are only ever
+        # flipped by host code, so mirror them
+        self.frame_active_host = np.zeros(cfg.max_frames, bool)
+        self.frame_marg_host = np.zeros(cfg.max_frames, bool)
+        self.links_host: list = []         # (slot_a, slot_b) pairs
 
     # -- scheduler/pool views (compat with tests/tools) ----------------------
 
@@ -667,7 +724,7 @@ class Mapper:
         self._anchor_pose = p0
         self._add_photo_pair(s0, s1)
         while self.has_work():
-            self.mapping_step()
+            self.mapping_run()
         return s0, s1
 
     def init_one_frame(self, img, pose=None):
@@ -746,6 +803,8 @@ class Mapper:
         fslot = self._alloc_frame_slot()
         self.frames = fr.add_frame(self.frames, fslot, pose_init, img_pyr, grad_pyr)
         self.frame_slots.append(fslot)
+        self.frame_active_host[fslot] = True
+        self.frame_marg_host[fslot] = False
         self.sched.add_photo(kf_slot, fslot, True, self.cfg.pho_iters)
         return fslot
 
@@ -774,6 +833,7 @@ class Mapper:
             remove_after=second_removes, replace=True,
         )
         self.state = ms.add_link(self.state, self.n_links, s0, s1)
+        self.links_host.append((s0, s1))
         self.n_links += 1
         return second
 
@@ -797,14 +857,13 @@ class Mapper:
         (Schur elimination of the frame pose, mapping/marginal.py — the
         sliding-window equivalent of ISAM2 marginalizeLeaves), then drop the
         frame's factors and variable."""
-        marg = np.asarray(jax.device_get(self.frames.marginalized))
-        act = np.asarray(jax.device_get(self.frames.active))
         for s in range(self.cfg.max_frames):
-            if act[s] and not marg[s]:
+            if self.frame_active_host[s] and not self.frame_marg_host[s]:
                 self._fold_frame_prior(s)
                 self.frames = self.frames._replace(
                     marginalized=self.frames.marginalized.at[s].set(True)
                 )
+                self.frame_marg_host[s] = True
                 # drop any outstanding works + pool factors on this frame
                 self.sched.erase_frame(s)
 
@@ -870,6 +929,79 @@ class Mapper:
             )
         self.sched.bookkeeping(stochastic_geo_resample=resample)
 
+    def _fused_segments(self):
+        """Return the static (level, budget) descent when ALL outstanding
+        works share one schedule state (the common case: a freshly enqueued
+        keyframe/frame pair), else None. Sharing one state makes the
+        phase-wise schedule deterministic, so the whole descent can run in
+        one dispatch (_make_run_fn.run_segments)."""
+        from .scheduler import PyScheduler
+
+        if not isinstance(self.sched, PyScheduler):
+            return None
+        works = self.sched.wm.work
+        if not works:
+            return None
+        sig = None
+        for w in works:
+            if type(w) is not PhotoWork or w.child is not None or w.remove:
+                return None
+            s = (w.active_level, tuple(w.iters), tuple(w.orig_iters))
+            if sig is None:
+                sig = s
+            elif s != sig:
+                return None
+        lvl, iters, orig = sig
+        if lvl < 0:
+            return None
+        segs = [(lvl, iters[lvl] + 1)]
+        for l in range(lvl - 1, -1, -1):
+            segs.append((l, orig[l] + 1))
+        return tuple(segs)
+
+    def mapping_run(self):
+        """Run mapping to the next schedule boundary. When every work shares
+        one level state, the ENTIRE coarse-to-fine descent runs in one
+        dispatch + one host round trip; otherwise falls back to phase-wise
+        mapping_step calls. Drives the same Work state machine either way."""
+        segs = self._fused_segments()
+        if segs is None:
+            self.mapping_step()
+            return
+        self._bookkeeping()
+        descent_full = np.zeros(self.cfg.max_factors, bool)
+        for w in self.sched.wm.work:
+            if w.pool_slot is not None:
+                descent_full[w.pool_slot] = True
+        pool, descent = self._compact_pool(extra=descent_full)
+        kf_mask = jnp.ones((self.cfg.max_keyframes,), bool)
+        fr_mask = jnp.ones((self.cfg.max_frames,), bool)
+        anchor = self.kf_slots[0] if self.kf_slots else 0
+        rep = {k: jnp.asarray(v) for k, v in self.rep_pool._asdict().items()}
+        geo = {k: jnp.asarray(v) for k, v in self.geo_pool._asdict().items()}
+        self.state, self.frames, stats = self._run_segments_fn(
+            self.state, self.frames,
+            jnp.asarray(pool.src), jnp.asarray(pool.dst),
+            jnp.asarray(pool.dst_is_frame), jnp.asarray(pool.level),
+            jnp.asarray(pool.active), jnp.asarray(descent),
+            rep, geo, self.marginals, self.dprior,
+            kf_mask, fr_mask,
+            jnp.asarray(anchor, jnp.int32),
+            self._anchor_pose.q, self._anchor_pose.t,
+            jnp.asarray(self.cfg.lm_lambda, jnp.float32),
+            segs, bool(np.any(pool.active & pool.dst_is_frame)),
+        )
+        stats = np.asarray(jax.device_get(stats))  # ONE round trip
+        for s in range(stats.shape[0]):
+            iters_done = max(1, int(stats[s, 0]))
+            converged = float(stats[s, 1]) < self.cfg.relin_threshold
+            self.sched.update(iters_done, converged)
+            # replay the per-phase bookkeeping so host pool levels track the
+            # descent (persistent factors must end at their final level —
+            # the device used the segment level via pool_descent)
+            self._bookkeeping()
+        self.last_max_delta = float(stats[-1, 1])
+
     def mapping_step(self):
         """One mapping *phase*: runs GN iterations on-device until the next
         schedule boundary (any work's level-budget exhausts) or convergence
@@ -922,13 +1054,16 @@ class Mapper:
             iters_done, self.last_max_delta < self.cfg.relin_threshold
         )
 
-    def _compact_pool(self) -> FactorPool:
+    def _compact_pool(self, extra=None):
         """Compact active photo factors into a power-of-two-sized prefix.
 
         The fused Gram kernel skips inactive slots' compute but still pays
         their block DMA and grid steps (~26% at half occupancy, measured) —
         compaction bounds that waste. Bucketed sizes keep recompiles
-        bounded (one run-fn variant per (bucket, levels_present) pair)."""
+        bounded (one run-fn variant per (bucket, levels_present) pair).
+
+        ``extra``: optional per-slot array compacted with the same
+        permutation; returns (pool, extra_compacted) when given."""
         pool = self.pool
         act_idx = np.nonzero(pool.active)[0]
         n = max(1, len(act_idx))
@@ -938,13 +1073,16 @@ class Mapper:
         P = min(P, self.cfg.max_factors)
         sel = np.zeros(P, np.int64)
         sel[:len(act_idx)] = act_idx
-        return FactorPool(
+        out = FactorPool(
             src=pool.src[sel].astype(np.int32),
             dst=pool.dst[sel].astype(np.int32),
             dst_is_frame=pool.dst_is_frame[sel],
             level=pool.level[sel].astype(np.int32),
             active=np.arange(P) < len(act_idx),
         )
+        if extra is not None:
+            return out, extra[sel]
+        return out
 
     def has_work(self) -> bool:
         return self.sched.has_work()
@@ -972,6 +1110,9 @@ class Mapper:
         self.frame_slots = []
         self.kf_ids = {}
         self.n_links = 0
+        self.frame_active_host = np.zeros(cfg.max_frames, bool)
+        self.frame_marg_host = np.zeros(cfg.max_frames, bool)
+        self.links_host = []
 
     # -- introspection -------------------------------------------------------
 

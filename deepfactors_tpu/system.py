@@ -108,6 +108,77 @@ class DeepFactors:
         self.pose_callback = None
         self.map_callback = None
         self.stats_callback = None
+        # fused per-frame decision probe (see _probe): one device round trip
+        # serves every host decision in ProcessFrame
+        self._probe_fn = None
+        self._last_kf_dists: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    # fused frame probe
+    # ------------------------------------------------------------------
+
+    def _build_probe_fn(self):
+        """One jitted call computing EVERY per-frame decision scalar.
+
+        The reference reads each of these on demand (deepfactors.cpp:
+        CheckTrackingLost :852, NewKeyframeRequired :747, NewFrameRequired
+        :784, SelectKeyframe :813, DetectLocalLoop loop_detector.cpp:190,
+        BoW query :96). Through the axon TPU tunnel every host sync costs a
+        ~23 ms round trip, so they are all batched into ONE output vector:
+        [d_full(K) | d_trans(K) | fr_trans(F) | sims(K) | rot | inl | err].
+        """
+        from .loop import vocabulary as vb
+
+        with_bow = self.loop_detector is not None
+
+        @jax.jit
+        def probe(pq, pt, track_stats, kf_q, kf_t, fr_q, fr_t, curr_kf,
+                  bow_v, db, db_valid):
+            pose = SE3(pq, pt)
+            kf = SE3(kf_q, kf_t)
+            d_full = se3m.pose_distance(kf, pose)
+            d_trans = se3m.pose_distance(kf, pose, 1.0, 0.0)
+            fr_trans = se3m.pose_distance(SE3(fr_q, fr_t), pose, 1.0, 0.0)
+            rel_q = se3m.quat_mul(kf_q[curr_kf], se3m.quat_conj(pq))
+            rot = jnp.linalg.norm(se3m.so3_log(rel_q))
+            if with_bow:
+                sims = vb.similarity(bow_v, db, db_valid)
+            else:
+                sims = jnp.full((kf_q.shape[0],), -jnp.inf)
+            return jnp.concatenate([
+                d_full, d_trans, fr_trans, sims,
+                jnp.stack([rot, track_stats[0], track_stats[1]]),
+            ])
+
+        return probe
+
+    def _run_probe(self, pose_wc: SE3, track_stats, bow_v) -> dict:
+        if self._probe_fn is None:
+            self._probe_fn = self._build_probe_fn()
+        st = self.mapper.state
+        fs = self.mapper.frames
+        if self.loop_detector is not None:
+            db, dbv = self.loop_detector.db, self.loop_detector.db_valid
+        else:
+            K = st.pose.q.shape[0]
+            db = jnp.zeros((K, 1)); dbv = jnp.zeros((K,), bool)
+            bow_v = jnp.zeros((1,))
+        out = np.asarray(jax.device_get(self._probe_fn(
+            pose_wc.q, pose_wc.t, track_stats, st.pose.q, st.pose.t,
+            fs.pose.q, fs.pose.t, jnp.asarray(self.curr_kf, jnp.int32),
+            bow_v, db, dbv,
+        )))
+        K = st.pose.q.shape[0]
+        F = fs.pose.q.shape[0]
+        return {
+            "d_full": out[:K],
+            "d_trans": out[K:2 * K],
+            "fr_trans": out[2 * K:2 * K + F],
+            "sims": out[2 * K + F:3 * K + F],
+            "rot": float(out[3 * K + F]),
+            "inliers": float(out[3 * K + F + 1]),
+            "error": float(out[3 * K + F + 2]),
+        }
 
     # ------------------------------------------------------------------
     # bootstrap (deepfactors.cpp:370-443)
@@ -161,7 +232,31 @@ class DeepFactors:
             new_pose_wc = self._track(img_pyr, grad_pyr)
         toc("track")
 
-        self.tracking_lost = self._check_tracking_lost(new_pose_wc)
+        # detect features + BoW vector of the current frame (device, async)
+        cur_feat = None
+        bow_v = None
+        if self.loop_detector is not None:
+            from .features import detector as det
+            from .loop import vocabulary as vb
+
+            cur_feat = det.detect(
+                img_pyr[0],
+                det.DetectorConfig(
+                    max_keypoints=max(self.cfg.mapper.max_keypoints, 64)
+                ),
+            )
+            bow_v = vb.bow_vector(self.loop_detector.voc,
+                                  cur_feat.descriptor, cur_feat.valid)
+
+        # ONE host round trip: every decision scalar of this frame
+        tic("probe")
+        probe = self._run_probe(new_pose_wc, self.tracker.stats, bow_v)
+        self.tracker.inliers = probe["inliers"]
+        self.tracker.error = probe["error"]
+        self._last_kf_dists = probe["d_full"]
+        toc("probe")
+
+        self.tracking_lost = self._check_tracking_lost(probe)
         if self.tracking_lost:
             return
 
@@ -171,9 +266,9 @@ class DeepFactors:
             self.pose_callback(new_pose_wc)
 
         if self.loop_detector is not None:
-            self._loop_closure(img_pyr, grad_pyr)
+            self._loop_closure(img_pyr, grad_pyr, probe, cur_feat)
 
-        if self._new_keyframe_required():
+        if self._new_keyframe_required(probe):
             tic("enqueue keyframe")
             slot = self.mapper.enqueue_keyframe(np.asarray(img), self.pose_wc)
             self._set_tracker_keyframe(slot)
@@ -185,23 +280,21 @@ class DeepFactors:
             toc("enqueue keyframe")
             return  # kf construction took long enough (deepfactors.cpp:297)
 
-        if self._new_frame_required():
+        if self._new_frame_required(probe):
             self.mapper.enqueue_frame(np.asarray(img), self.pose_wc,
                                       self.curr_kf)
 
         self.stats = Stats(
-            inliers=self.tracker.inliers,
-            tracker_error=self.tracker.error,
-            distance=float(se3m.pose_distance(
-                se3m.index(self.mapper.state.pose, self.curr_kf), self.pose_wc
-            )),
+            inliers=probe["inliers"],
+            tracker_error=probe["error"],
+            distance=float(probe["d_full"][self.curr_kf]),
         )
         if self.stats_callback:
             self.stats_callback(self.stats)
 
         tic("mapping")
         while True:
-            self.mapper.mapping_step()
+            self.mapper.mapping_run()
             if not self.mapper.has_work() or self.cfg.interleave_mapping:
                 break
         self.mapper.update_map()
@@ -262,7 +355,10 @@ class DeepFactors:
             self.tracker.set_pose(pose_wc)
 
     def _select_keyframe(self) -> int:
-        """SelectKeyframe (deepfactors.cpp:813-848)."""
+        """SelectKeyframe (deepfactors.cpp:813-848). CLOSEST uses the
+        previous frame's probe distances (same pose_wc the reference would
+        use — selection happens before tracking; keyframe poses are at most
+        one mapping phase stale, which only matters at exact ties)."""
         mode = self.cfg.tracking_mode
         slots = self.mapper.kf_slots
         if mode == "LAST":
@@ -270,15 +366,15 @@ class DeepFactors:
         if mode == "FIRST":
             return slots[0]
         # CLOSEST
-        st = self.mapper.state
-        d = np.asarray(jax.device_get(
-            se3m.pose_distance(st.pose, self.pose_wc)
-        ))
-        act = np.asarray(jax.device_get(st.active))
+        d = self._last_kf_dists
+        if d is None:
+            d = np.asarray(jax.device_get(
+                se3m.pose_distance(self.mapper.state.pose, self.pose_wc)
+            ))
         best, bd = slots[-1], np.inf
         for s in slots:
-            if act[s] and d[s] < bd:
-                best, bd = s, d[s]
+            if s < len(d) and d[s] < bd:
+                best, bd = s, float(d[s])
         return best
 
     def _track(self, img_pyr, grad_pyr) -> SE3:
@@ -286,75 +382,77 @@ class DeepFactors:
         if newkf != self.curr_kf:
             self._set_tracker_keyframe(newkf)
             self.curr_kf = newkf
-        self.tracker.track_frame(img_pyr, grad_pyr)
+        self.tracker.track_frame(img_pyr, grad_pyr, sync_stats=False)
         return self.tracker.get_pose_estimate()
 
     def _relocalize(self, img_pyr, grad_pyr) -> SE3:
         """Relocalize (deepfactors.cpp:713-743): brute-force dense tracking
-        against every keyframe, keep the best error."""
-        best_err, best_slot, best_pose = np.inf, None, None
+        against every keyframe, keep the best error. One round trip: every
+        candidate is tracked (async), errors fetched in one batch."""
+        results = []
         for s in self.mapper.kf_slots:
             self._set_tracker_keyframe(s)
             self.tracker.reset()
-            self.tracker.track_frame(img_pyr, grad_pyr)
-            if self.tracker.error < best_err:
-                best_err = self.tracker.error
-                best_slot = s
-                best_pose = self.tracker.get_pose_estimate()
-        self.curr_kf = best_slot
-        self._set_tracker_keyframe(best_slot)
-        self.tracker.set_pose(best_pose)
-        return best_pose
+            self.tracker.track_frame(img_pyr, grad_pyr, sync_stats=False)
+            results.append((s, self.tracker.get_pose_estimate(),
+                            self.tracker.stats))
+        errs = np.asarray(jax.device_get(
+            jnp.stack([st[1] for _, _, st in results])))
+        best = int(np.argmin(np.where(np.isfinite(errs), errs, np.inf)))
+        if not np.isfinite(errs[best]):
+            # relocalization failed — stay lost at the previous pose
+            self._set_tracker_keyframe(self.curr_kf)
+            self.tracker.set_pose(self.pose_wc)
+            self.tracker.error = float("inf")
+            return self.pose_wc
+        slot, pose, stats = results[best]
+        self.curr_kf = slot
+        self._set_tracker_keyframe(slot)
+        self.tracker.set_pose(pose)
+        self.tracker.error = float(errs[best])
+        return pose
 
-    def _check_tracking_lost(self, pose_wc: SE3) -> bool:
+    def _check_tracking_lost(self, probe: dict) -> bool:
         """CheckTrackingLost (deepfactors.cpp:852-879)."""
-        error_too_big = self.tracker.error > self.cfg.tracking_error_threshold
-        pose_wk = se3m.index(self.mapper.state.pose, self.curr_kf)
-        distance = float(se3m.pose_distance(pose_wk, pose_wc))
-        kf_too_far = distance > self.cfg.tracking_dist_threshold
-        return error_too_big or kf_too_far
+        error_too_big = probe["error"] > self.cfg.tracking_error_threshold
+        kf_too_far = (probe["d_full"][self.curr_kf]
+                      > self.cfg.tracking_dist_threshold)
+        return bool(error_too_big or kf_too_far)
 
     # ------------------------------------------------------------------
     # keyframe / frame policies (deepfactors.cpp:747-809)
     # ------------------------------------------------------------------
 
-    def _new_keyframe_required(self) -> bool:
+    def _new_keyframe_required(self, probe: dict) -> bool:
         if self.force_keyframe_flag:
             self.force_keyframe_flag = False
             return True
         mode = self.cfg.keyframe_mode
         if mode == "NEVER":
             return False
-        inliers = self.tracker.inliers
-        pose_wk = se3m.index(self.mapper.state.pose, self.curr_kf)
-        distance = float(se3m.pose_distance(pose_wk, self.pose_wc))
+        inliers = probe["inliers"]
+        distance = float(probe["d_full"][self.curr_kf])
         if mode == "AUTO":
             return (inliers < self.cfg.inlier_threshold
                     or distance > self.cfg.dist_threshold)
         # AUTO_COMBINED
-        rel_q = se3m.quat_mul(pose_wk.q, se3m.quat_conj(self.pose_wc.q))
-        rot_dist = float(jnp.linalg.norm(se3m.so3_log(rel_q)))
-        delta = distance * 5 + rot_dist * 3
+        delta = distance * 5 + probe["rot"] * 3
         return delta > self.cfg.combined_threshold or \
             inliers < self.cfg.inlier_threshold
 
-    def _new_frame_required(self) -> bool:
+    def _new_frame_required(self, probe: dict) -> bool:
         if self.force_frame_flag:
             self.force_frame_flag = False
             return True
         if self.cfg.keyframe_mode == "NEVER":
             return False
-        pose_wk = se3m.index(self.mapper.state.pose, self.curr_kf)
-        kf_dist = float(se3m.pose_distance(pose_wk, self.pose_wc, 1.0, 0.0))
-        far_from_kf = kf_dist > self.cfg.frame_dist_threshold
+        far_from_kf = (float(probe["d_trans"][self.curr_kf])
+                       > self.cfg.frame_dist_threshold)
         far_from_frames = True
-        fs = self.mapper.frames
-        act = np.asarray(jax.device_get(fs.active & ~fs.marginalized))
-        for i in range(len(act)):
-            if act[i]:
-                fp = SE3(fs.pose.q[i], fs.pose.t[i])
-                if float(se3m.pose_distance(fp, self.pose_wc, 1.0, 0.0)) < \
-                        self.cfg.frame_dist_threshold:
+        m = self.mapper
+        for i in range(len(m.frame_active_host)):
+            if m.frame_active_host[i] and not m.frame_marg_host[i]:
+                if float(probe["fr_trans"][i]) < self.cfg.frame_dist_threshold:
                     far_from_frames = False
         return far_from_kf and far_from_frames and not self.mapper.has_work()
 
@@ -375,26 +473,27 @@ class DeepFactors:
                            det.DetectorConfig(max_keypoints=128))
             self.loop_detector.add_keyframe(slot, f.descriptor, f.valid)
 
-    def _loop_closure(self, img_pyr, grad_pyr):
+    def _loop_closure(self, img_pyr, grad_pyr, probe: dict, cur_feat):
         st = self.mapper.state
-        act = np.asarray(jax.device_get(st.active))
-        # local loop: photometric link (deepfactors.cpp:248-261)
-        local = self.loop_detector.detect_local_loop(
-            self.pose_wc, st.pose, act, self.mapper.kf_slots, self.curr_kf
-        )
+        # local loop: photometric link (deepfactors.cpp:248-261) — nearest
+        # keyframe outside the active window, from the probe's distances
+        win = set(self.mapper.kf_slots[-self.cfg.loop_active_window:])
+        local, best_d = -1, self.cfg.loop_max_dist
+        for s in self.mapper.kf_slots:
+            if s in win or s == self.curr_kf:
+                continue
+            if float(probe["d_full"][s]) < best_d:
+                local, best_d = s, float(probe["d_full"][s])
         if local >= 0 and not self._link_exists(self.curr_kf, local):
             self.mapper.enqueue_link(self.curr_kf, local, photo=True)
             self.loop_links.append((self.curr_kf, local))
-        # global loop: reprojection link (deepfactors.cpp:263-280)
-        from .features import detector as det
-
-        f = det.detect(img_pyr[0],
-                       det.DetectorConfig(
-                           max_keypoints=max(self.cfg.mapper.max_keypoints, 64)
-                       ))
+        # global loop: reprojection link (deepfactors.cpp:263-280) — BoW
+        # similarities come from the probe; only a passing candidate costs
+        # the dense-verification round trip
         res = self.loop_detector.detect_loop(
-            f.descriptor, f.valid, img_pyr, grad_pyr, self.pose_wc, st,
-            self.mapper.kf_slots,
+            cur_feat.descriptor, cur_feat.valid, img_pyr, grad_pyr,
+            self.pose_wc, st, self.mapper.kf_slots,
+            sims_np=probe["sims"],
         )
         if res.detected and not self._link_exists(self.curr_kf, res.slot):
             self.mapper.enqueue_link(self.curr_kf, res.slot, photo=False,
@@ -402,12 +501,8 @@ class DeepFactors:
             self.loop_links.append((self.curr_kf, res.slot))
 
     def _link_exists(self, a: int, b: int) -> bool:
-        src = np.asarray(jax.device_get(self.mapper.state.link_src))
-        dst = np.asarray(jax.device_get(self.mapper.state.link_dst))
-        lact = np.asarray(jax.device_get(self.mapper.state.link_active))
-        for i in range(len(src)):
-            if lact[i] and ((src[i] == a and dst[i] == b)
-                            or (src[i] == b and dst[i] == a)):
+        for (x, y) in self.mapper.links_host:
+            if (x == a and y == b) or (x == b and y == a):
                 return True
         return False
 
