@@ -60,7 +60,10 @@ def main():
     for w in m.work.work:
         w.active_level = 0
     m._bookkeeping()
-    n_factors = int(np.sum(m.pool.active))
+    # dispatch exactly what the mapper dispatches: the compacted pool
+    # (inactive Pallas grid slots still pay block DMA, mapper._compact_pool)
+    pool = m._compact_pool()
+    n_factors = int(np.sum(pool.active))
 
     kf_mask = jnp.ones((cfg.max_keyframes,), bool)
     fr_mask = jnp.ones((cfg.max_frames,), bool)
@@ -68,9 +71,9 @@ def main():
     geo = {k: jnp.asarray(v) for k, v in m.geo_pool._asdict().items()}
     args = lambda n: (
         m.state, m.frames,
-        jnp.asarray(m.pool.src), jnp.asarray(m.pool.dst),
-        jnp.asarray(m.pool.dst_is_frame), jnp.asarray(m.pool.level),
-        jnp.asarray(m.pool.active), rep, geo, m.marginals, m.dprior,
+        jnp.asarray(pool.src), jnp.asarray(pool.dst),
+        jnp.asarray(pool.dst_is_frame), jnp.asarray(pool.level),
+        jnp.asarray(pool.active), rep, geo, m.marginals, m.dprior,
         kf_mask, fr_mask,
         jnp.asarray(0, jnp.int32),
         se3m.identity().q, se3m.identity().t,

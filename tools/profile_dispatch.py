@@ -1,0 +1,77 @@
+"""Isolate fixed dispatch cost vs marginal per-iteration cost of the
+mapper run-fn at the bench problem size.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_dispatch.py
+"""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from deepfactors_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from deepfactors_tpu.geometry import se3 as se3m
+    from deepfactors_tpu.geometry.camera import PinholeCamera
+    from deepfactors_tpu.mapping.mapper import Mapper, MapperConfig
+
+    H, W, CS, L = 192, 256, 32, 3
+    N_KF = 5
+    cam = PinholeCamera.create(fx=220.0, fy=220.0, u0=W / 2, v0=H / 2,
+                               width=W, height=H)
+    cfg = MapperConfig(
+        max_keyframes=N_KF, max_frames=1, max_factors=16, code_size=CS,
+        height=H, width=W, pyramid_levels=L, pho_iters=(4, 8, 15),
+        connection_mode="LASTN", max_back_connections=2, use_schur=True,
+        relin_threshold=0.0,
+    )
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+
+    def synth(k):
+        return (0.5 + 0.3 * np.sin(xs / 7 + k) * np.cos(ys / 5 + 0.3 * k)
+                + 0.1 * np.sin((xs + 2 * ys) / 11 + k)).astype(np.float32)
+
+    m = Mapper(cfg, cam, decoder=None)
+    m.add_keyframe_to_map(synth(0), se3m.identity())
+    for k in range(1, N_KF):
+        m.add_keyframe_to_map(synth(k), se3m.identity())
+        m._add_photo_pair(m.kf_slots[-2], m.kf_slots[-1])
+    for w in m.work.work:
+        w.active_level = 0
+    m._bookkeeping()
+    pool = m._compact_pool()
+
+    kf_mask = jnp.ones((cfg.max_keyframes,), bool)
+    fr_mask = jnp.ones((cfg.max_frames,), bool)
+    rep = {k: jnp.asarray(v) for k, v in m.rep_pool._asdict().items()}
+    geo = {k: jnp.asarray(v) for k, v in m.geo_pool._asdict().items()}
+    args = lambda n: (
+        m.state, m.frames,
+        jnp.asarray(pool.src), jnp.asarray(pool.dst),
+        jnp.asarray(pool.dst_is_frame), jnp.asarray(pool.level),
+        jnp.asarray(pool.active), rep, geo, m.marginals, m.dprior,
+        kf_mask, fr_mask,
+        jnp.asarray(0, jnp.int32),
+        se3m.identity().q, se3m.identity().t,
+        jnp.asarray(cfg.lm_lambda, jnp.float32),
+        jnp.asarray(n, jnp.int32), (0,), False,
+    )
+    jax.block_until_ready(m._run_fn(*args(2)))
+    for n in (2, 2, 20, 100, 100, 200):
+        t0 = time.perf_counter()
+        out = m._run_fn(*args(n))
+        jax.block_until_ready(out[2])
+        dt = time.perf_counter() - t0
+        print(f"n={n:4d}: total {dt*1e3:8.2f} ms  ({dt/n*1e6:7.1f} us/iter)")
+
+    # how much of the fixed cost is arg prep / transfer?
+    a = args(100)
+    t0 = time.perf_counter()
+    out = m._run_fn(*a)
+    jax.block_until_ready(out[2])
+    print(f"prebuilt args n=100: {(time.perf_counter()-t0)*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
