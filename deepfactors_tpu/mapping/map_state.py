@@ -174,5 +174,11 @@ def add_link(state: MapState, link_idx: int, src: Array, dst: Array) -> MapState
     )
 
 
+def remove_link(state: MapState, link_idx: int) -> MapState:
+    return state._replace(
+        link_active=state.link_active.at[link_idx].set(False)
+    )
+
+
 def poses_of(state: MapState, slots: Array) -> SE3:
     return SE3(state.pose.q[slots], state.pose.t[slots])

@@ -584,9 +584,18 @@ class Mapper:
         self.kf_slots: list[int] = []      # insertion order of live slots
         self.frame_slots: list[int] = []
         self.kf_ids: dict[int, int] = {}   # id -> slot
+        self._next_kid = 0                 # host mirror of state.next_id
+        self._link_free: list[int] = []    # recycled link-table slots
         self.n_links = 0
         self._anchor_pose: SE3 = se3m.identity()
         self.last_max_delta = float("inf")
+        # keyframe eviction (marginalize-to-prior past capacity): slots the
+        # facade needs live (tracker keyframe) are never evicted; the facade
+        # observes evictions through the callback (loop-db invalidation +
+        # trajectory archival)
+        self.protected_slots: set = set()
+        self.evict_callback = None         # fn(slot, kf_id)
+        self.archived: list[dict] = []     # evicted kf poses for SaveResults
         # host mirrors of host-driven device flags: a device_get through the
         # axon tunnel costs a ~23 ms round trip; these flags are only ever
         # flipped by host code, so mirror them
@@ -646,10 +655,113 @@ class Mapper:
         for s in range(self.cfg.max_keyframes):
             if s not in self.kf_slots:
                 return s
+        # pool full: marginalize the oldest unprotected keyframe to a prior
+        # and reuse its slot (the reference keeps old keyframes at the
+        # Bayes-tree periphery, mapper.cpp:478-510; with fixed-capacity TPU
+        # pools the equivalent is marginalize-and-evict)
+        return self.marginalize_keyframe(self._select_victim())
+
+    def _select_victim(self) -> int:
+        for s in self.kf_slots:
+            if s not in self.protected_slots:
+                return s
         raise RuntimeError(
-            "keyframe capacity exceeded — raise max_keyframes (sharded "
-            "large-map mode handles bigger maps)"
+            "keyframe capacity exceeded and every slot is protected — "
+            "raise max_keyframes"
         )
+
+    def marginalize_keyframe(self, victim: int) -> int:
+        """Evict keyframe ``victim``: fold each of its photometric factors
+        into a marginal prior over the surviving neighbor (Schur elimination
+        of the victim's pose+code block — the ``marginalizeLeaves``
+        equivalent, mapper.cpp:395-436), archive its final pose, and free the
+        slot plus all factors/works/links touching it. Returns the slot."""
+        assert victim in self.kf_slots
+        self.marginalize_frames()  # frame factors reference keyframes
+        pool = self.sched.photo_pool
+        for i in range(self.cfg.max_factors):
+            if not pool.active[i] or pool.dst_is_frame[i]:
+                continue
+            s, d = int(pool.src[i]), int(pool.dst[i])
+            if victim not in (s, d):
+                continue
+            neighbor = d if s == victim else s
+            if neighbor not in self.kf_slots:
+                continue
+            H, b = self._marginalize_kf_fn(int(pool.level[i]), s == victim)(
+                self.state, jnp.asarray(s, jnp.int32),
+                jnp.asarray(d, jnp.int32)
+            )
+            self.marginals = mg.add_prior(
+                self.marginals, neighbor, H, b,
+                se3m.index(self.state.pose, neighbor),
+                self.state.code[neighbor],
+            )
+        # archive the final pose before the slot is reused (SaveResults
+        # writes per-keyframe poses, deepfactors.cpp:574-594)
+        kid = next((k for k, v in self.kf_ids.items() if v == victim), -1)
+        q, t = jax.device_get((self.state.pose.q[victim],
+                               self.state.pose.t[victim]))
+        self.archived.append(
+            {"id": kid, "q": np.asarray(q), "t": np.asarray(t)}
+        )
+        # drop works, pool factors, links, marginal store, active flag
+        self.sched.erase_keyframe(victim)
+        for li, pair in list(self.links_host):
+            if victim in pair:
+                self.links_host.remove((li, pair))
+                self._link_free.append(li)
+                self.state = ms.remove_link(self.state, li)
+        self.marginals = mg.clear(self.marginals, victim)
+        self.state = self.state._replace(
+            active=self.state.active.at[victim].set(False)
+        )
+        was_anchor = self.kf_slots and self.kf_slots[0] == victim
+        self.kf_slots.remove(victim)
+        if kid >= 0:
+            del self.kf_ids[kid]
+        if was_anchor and self.kf_slots:
+            # re-anchor the gauge prior on the new oldest keyframe at its
+            # current estimate (gauge continuity)
+            self._anchor_pose = se3m.index(self.state.pose,
+                                           self.kf_slots[0])
+        if self.evict_callback is not None:
+            self.evict_callback(victim, kid)
+        return victim
+
+    def _marginalize_kf_fn(self, level: int, victim_is_src: bool):
+        """Jitted kf->kf factor fold at a pyramid level (cached per
+        (level, direction))."""
+        if not hasattr(self, "_marg_kf_cache"):
+            self._marg_kf_cache = {}
+        key = (level, victim_is_src)
+        if key in self._marg_kf_cache:
+            return self._marg_kf_cache[key]
+        cfg = self.cfg
+        cams = camera_pyramid(self.cam, cfg.pyramid_levels)
+        params = ds.SfmParams(
+            huber_delta=cfg.huber_delta, avg_dpt=cfg.avg_dpt,
+            min_dpt=cfg.min_dpt, valid_border=cfg.valid_border,
+        )
+
+        @jax.jit
+        def fold(state, src, dst):
+            state = ms.update_depth_all(state, cfg.avg_dpt)
+            lvl = state.levels[level]
+            sys, _ = ds.sfm_step(
+                ms.poses_of(state, src), ms.poses_of(state, dst),
+                state.code[src], cams[level],
+                lvl.img[src], lvl.img[dst], lvl.dpt[src], lvl.stdev[src],
+                jnp.transpose(lvl.jac[src], (1, 2, 0)),
+                lvl.grad[dst],
+                params, grad_mode=cfg.grad_mode,
+            )
+            return mg.schur_marginalize_keyframe(
+                sys.JtJ, sys.Jtr, cfg.code_size, victim_is_src
+            )
+
+        self._marg_kf_cache[key] = fold
+        return fold
 
     def _alloc_frame_slot(self) -> int:
         for s in range(self.cfg.max_frames):
@@ -708,7 +820,8 @@ class Mapper:
             stdev, self.cfg.avg_dpt, features=features,
         )
         self.kf_slots.append(slot)
-        self.kf_ids[len(self.kf_ids)] = slot
+        self.kf_ids[self._next_kid] = slot
+        self._next_kid += 1
         return slot
 
     # -- enqueue API (mapper.cpp:164-392) ------------------------------------
@@ -738,6 +851,10 @@ class Mapper:
     def enqueue_keyframe(self, img, pose_init: SE3, code=None) -> int:
         """EnqueueKeyframe (mapper.cpp:282-344): photometric both ways, plus
         reprojection both ways and geometric-as-child when enabled."""
+        # evict BEFORE selecting back-connections so none reference a slot
+        # about to be marginalized
+        if len(self.kf_slots) >= self.cfg.max_keyframes:
+            self.marginalize_keyframe(self._select_victim())
         conns = self._back_connections()
         slot = self.add_keyframe_to_map(img, pose_init, code)
         self.marginalize_frames()
@@ -832,9 +949,14 @@ class Mapper:
             s1, s0, False, self.cfg.pho_iters,
             remove_after=second_removes, replace=True,
         )
-        self.state = ms.add_link(self.state, self.n_links, s0, s1)
-        self.links_host.append((s0, s1))
-        self.n_links += 1
+        if self._link_free:
+            li = self._link_free.pop()
+        else:
+            li = self.n_links
+            self.n_links += 1
+        if li < self.state.link_active.shape[0]:
+            self.state = ms.add_link(self.state, li, s0, s1)
+        self.links_host.append((li, (s0, s1)))
         return second
 
     def _back_connections(self) -> list[int]:
@@ -1109,10 +1231,14 @@ class Mapper:
         self.kf_slots = []
         self.frame_slots = []
         self.kf_ids = {}
+        self._next_kid = 0
+        self._link_free = []
         self.n_links = 0
         self.frame_active_host = np.zeros(cfg.max_frames, bool)
         self.frame_marg_host = np.zeros(cfg.max_frames, bool)
         self.links_host = []
+        self.protected_slots = set()
+        self.archived = []
 
     # -- introspection -------------------------------------------------------
 

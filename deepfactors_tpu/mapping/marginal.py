@@ -73,6 +73,58 @@ def schur_marginalize_frame(JtJ: Array, Jtr: Array, CS: int, damping=1e-6):
     return clip_eigenvalues(H_marg), b_marg
 
 
+def schur_marginalize_keyframe(JtJ: Array, Jtr: Array, CS: int,
+                               victim_is_src: bool, damping=1e-6):
+    """Eliminate the *victim keyframe's* blocks from a kf->kf photometric
+    factor system, producing a marginal prior over the surviving neighbor.
+
+    The reference grows its map unboundedly, keeping stale keyframes at the
+    Bayes-tree periphery (mapper.cpp:478-510) and sparsifying connections
+    (BuildBackConnections LASTN, mapper.cpp:1011-1037); with fixed-capacity
+    TPU pools the equivalent is explicit marginalization: the evicted
+    keyframe's factors are linearized once more and its (pose, code) block is
+    Schur-eliminated — the same elimination ``marginalizeLeaves``
+    (mapper.cpp:395-436) performs inside ISAM2.
+
+    Factor layout [pose_src(6) | pose_dst(6) | code_src(CS)]
+    (ops/dense_sfm.sfm_step). Returns (H [6+CS, 6+CS], b [6+CS]) over the
+    neighbor's (pose, code) in MarginalStore layout; when the victim is the
+    src, the factor carries no information about the neighbor's code, so the
+    code block is zero."""
+    if victim_is_src:
+        keep = jnp.arange(6, 12)
+        elim = jnp.concatenate([jnp.arange(6), 12 + jnp.arange(CS)])
+    else:
+        keep = jnp.concatenate([jnp.arange(6), 12 + jnp.arange(CS)])
+        elim = jnp.arange(6, 12)
+    Hkk = JtJ[jnp.ix_(keep, keep)]
+    Hke = JtJ[jnp.ix_(keep, elim)]
+    Hee = JtJ[jnp.ix_(elim, elim)] + damping * jnp.eye(elim.shape[0])
+    Hee_inv = jnp.linalg.inv(Hee)
+    H_marg = Hkk - Hke @ Hee_inv @ Hke.T
+    b_marg = Jtr[keep] - Hke @ Hee_inv @ Jtr[elim]
+    from ..solver.nearest_psd import clip_eigenvalues
+
+    H_marg = clip_eigenvalues(H_marg)
+    if victim_is_src:
+        D = 6 + CS
+        Hf = jnp.zeros((D, D), JtJ.dtype).at[:6, :6].set(H_marg)
+        bf = jnp.zeros((D,), Jtr.dtype).at[:6].set(b_marg)
+        return Hf, bf
+    return H_marg, b_marg
+
+
+def clear(store: MarginalStore, slot) -> MarginalStore:
+    """Drop the marginal prior of an evicted slot (its information referenced
+    only the evicted variable)."""
+    D = store.H.shape[-1]
+    return store._replace(
+        H=store.H.at[slot].set(jnp.zeros((D, D), store.H.dtype)),
+        b=store.b.at[slot].set(jnp.zeros((D,), store.b.dtype)),
+        active=store.active.at[slot].set(False),
+    )
+
+
 def add_prior(store: MarginalStore, slot, H: Array, b: Array,
               pose: SE3, code: Array) -> MarginalStore:
     """Accumulate a marginal prior for keyframe ``slot`` anchored at the

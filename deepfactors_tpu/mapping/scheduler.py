@@ -83,6 +83,40 @@ class PyScheduler:
                     and self.photo_pool.dst[i] == fslot):
                 self.photo_pool.active[i] = False
 
+    def erase_keyframe(self, slot: int):
+        """Drop every work + pool factor touching an evicted keyframe slot
+        (the WorkManager::Erase analog for keyframes — the reference never
+        evicts, see mapper.marginalize_keyframe)."""
+        from .mapper import GeoWork, PhotoWork, RepWork
+
+        def touches(w):
+            if isinstance(w, PhotoWork):
+                return w.src == slot or (not w.dst_is_frame and w.dst == slot)
+            if isinstance(w, (RepWork, GeoWork)):
+                return w.src == slot or w.dst == slot
+            return False
+
+        for w in list(self.wm.work):
+            if touches(w):
+                if w.pool_slot is not None:
+                    pool = (self.photo_pool if isinstance(w, PhotoWork)
+                            else self.rep_pool if isinstance(w, RepWork)
+                            else self.geo_pool)
+                    pool.active[w.pool_slot] = False
+                self.wm.work.remove(w)
+        for i in range(self.cfg.max_factors):
+            p = self.photo_pool
+            if p.active[i] and (p.src[i] == slot
+                                or (not p.dst_is_frame[i]
+                                    and p.dst[i] == slot)):
+                p.active[i] = False
+        for pool, cap in ((self.rep_pool, self.cfg.max_rep_factors),
+                          (self.geo_pool, self.cfg.max_geo_factors)):
+            for i in range(cap):
+                if pool.active[i] and (pool.src[i] == slot
+                                       or pool.dst[i] == slot):
+                    pool.active[i] = False
+
     # -- scheduling -----------------------------------------------------
 
     def bookkeeping(self, stochastic_geo_resample=None):
@@ -215,6 +249,9 @@ class NativeBackend:
 
     def erase_frame(self, fslot: int):
         self.ns.erase_frame(fslot)
+
+    def erase_keyframe(self, slot: int):
+        self.ns.erase_keyframe(slot)
 
     def bookkeeping(self, stochastic_geo_resample=None):
         self.ns.bookkeeping()

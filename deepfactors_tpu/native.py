@@ -54,6 +54,7 @@ def _lib():
     lib.df_sched_error.restype = C.c_int32
     lib.df_sched_error.argtypes = [C.c_void_p]
     lib.df_sched_erase_frame.argtypes = [C.c_void_p, C.c_int32]
+    lib.df_sched_erase_keyframe.argtypes = [C.c_void_p, C.c_int32]
     lib.df_sched_pool.argtypes = [
         C.c_void_p, C.c_int32, C.POINTER(C.c_int32), C.POINTER(C.c_int32),
         C.POINTER(C.c_int32), C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
@@ -135,6 +136,9 @@ class NativeScheduler:
 
     def erase_frame(self, slot: int):
         self._lib.df_sched_erase_frame(self._h, slot)
+
+    def erase_keyframe(self, slot: int):
+        self._lib.df_sched_erase_keyframe(self._h, slot)
 
     def work_slot(self, work_id: int) -> int:
         return int(self._lib.df_sched_work_slot(self._h, work_id))

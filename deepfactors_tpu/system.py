@@ -95,6 +95,10 @@ class DeepFactors:
             cam, m.pyramid_levels, m.max_keyframes, voc=vocabulary,
         ) if cfg.loop_closure else None
 
+        # keyframe eviction (mapper.marginalize_keyframe): invalidate the
+        # loop database entry of a freed slot before it is reused
+        self.mapper.evict_callback = self._on_keyframe_evicted
+
         self.bootstrapped = False
         self.tracking_lost = False
         self.force_keyframe_flag = False
@@ -335,6 +339,10 @@ class DeepFactors:
     # tracking / relocalization (deepfactors.cpp:685-743)
     # ------------------------------------------------------------------
 
+    def _on_keyframe_evicted(self, slot: int, kf_id: int):
+        if self.loop_detector is not None:
+            self.loop_detector.remove_keyframe(slot)
+
     def _set_tracker_keyframe(self, slot: int):
         L = self.cfg.mapper.pyramid_levels
         st = self.mapper.state
@@ -344,6 +352,9 @@ class DeepFactors:
             se3m.index(st.pose, slot),
         )
         self._tracker_kf_slot = slot
+        # the tracker's keyframe (and the newest map keyframe) must survive
+        # capacity eviction
+        self.mapper.protected_slots = {slot} | set(self.mapper.kf_slots[-2:])
 
     def _refresh_tracker_keyframe(self):
         """After mapping, the keyframe's pose/depth moved — refresh the
@@ -501,7 +512,7 @@ class DeepFactors:
             self.loop_links.append((self.curr_kf, res.slot))
 
     def _link_exists(self, a: int, b: int) -> bool:
-        for (x, y) in self.mapper.links_host:
+        for (_, (x, y)) in self.mapper.links_host:
             if (x == a and y == b) or (x == b and y == a):
                 return True
         return False
@@ -532,6 +543,19 @@ class DeepFactors:
         os.makedirs(dir_path, exist_ok=True)
         tum_io.save_trajectory(
             os.path.join(dir_path, "trajectory.txt"), self.trajectory
+        )
+        # per-keyframe poses (reference trajectory.txt is per-keyframe),
+        # including keyframes marginalized out of the capacity window
+        kf_poses = [(float(a["id"]), SE3(jnp.asarray(a["q"]),
+                                         jnp.asarray(a["t"])))
+                    for a in self.mapper.archived]
+        st = self.mapper.state
+        ids = np.asarray(jax.device_get(st.ids))
+        for s in self.mapper.kf_slots:
+            kf_poses.append((float(ids[s]), se3m.index(st.pose, s)))
+        kf_poses.sort(key=lambda x: x[0])
+        tum_io.save_trajectory(
+            os.path.join(dir_path, "keyframes.txt"), kf_poses
         )
         self.save_keyframes(dir_path)
 

@@ -51,7 +51,15 @@ def save_checkpoint(path: str, system) -> None:
         "kf_slots": m.kf_slots,
         "frame_slots": m.frame_slots,
         "kf_ids": {str(k): v for k, v in m.kf_ids.items()},
+        "next_kid": m._next_kid,
         "n_links": m.n_links,
+        "link_free": m._link_free,
+        "links_host": [[li, list(pair)] for li, pair in m.links_host],
+        "archived": [
+            {"id": a["id"], "q": np.asarray(a["q"]).tolist(),
+             "t": np.asarray(a["t"]).tolist()}
+            for a in m.archived
+        ],
         "curr_kf": system.curr_kf,
         "bootstrapped": system.bootstrapped,
         "tracking_lost": system.tracking_lost,
@@ -110,7 +118,16 @@ def load_checkpoint(path: str, system) -> None:
     m.kf_slots = list(host["kf_slots"])
     m.frame_slots = list(host["frame_slots"])
     m.kf_ids = {int(k): v for k, v in host["kf_ids"].items()}
+    m._next_kid = host.get("next_kid", len(m.kf_ids))
     m.n_links = host["n_links"]
+    m._link_free = list(host.get("link_free", []))
+    m.links_host = [(li, tuple(pair))
+                    for li, pair in host.get("links_host", [])]
+    m.archived = [
+        {"id": a["id"], "q": np.asarray(a["q"], np.float32),
+         "t": np.asarray(a["t"], np.float32)}
+        for a in host.get("archived", [])
+    ]
     system.curr_kf = host["curr_kf"]
     system.bootstrapped = host["bootstrapped"]
     system.tracking_lost = host["tracking_lost"]

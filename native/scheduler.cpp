@@ -268,6 +268,44 @@ void df_sched_erase_frame(void* h, int32_t frame_slot) {
       p.active[i] = 0;
 }
 
+// Drop works + pool entries touching an evicted KEYFRAME slot: any factor
+// whose src is the keyframe, or whose dst is the keyframe (non-frame
+// targets). Mirrors PyScheduler.erase_keyframe; the marginal-prior fold
+// happens Python-side before this is called.
+void df_sched_erase_keyframe(void* h, int32_t kf_slot) {
+  auto* s = static_cast<Scheduler*>(h);
+  auto touches = [&](const Work& w) {
+    if (w.kind == PHOTO)
+      return w.src == kf_slot || (!w.dst_is_frame && w.dst == kf_slot);
+    return w.src == kf_slot || w.dst == kf_slot;
+  };
+  for (auto it = s->work.begin(); it != s->work.end();) {
+    if (touches(*it)) {
+      if (it->pool_slot >= 0) s->pool_for(it->kind).active[it->pool_slot] = 0;
+      it = s->work.erase(it);
+    } else {
+      ++it;
+    }
+  }
+  for (auto it = s->pending_children.begin();
+       it != s->pending_children.end();) {
+    if (touches(*it))
+      it = s->pending_children.erase(it);
+    else
+      ++it;
+  }
+  for (size_t i = 0; i < s->photo_pool.active.size(); ++i) {
+    Pool& p = s->photo_pool;
+    if (p.active[i] && (p.src[i] == kf_slot ||
+                        (!p.is_frame[i] && p.dst[i] == kf_slot)))
+      p.active[i] = 0;
+  }
+  for (Pool* p : {&s->rep_pool, &s->geo_pool})
+    for (size_t i = 0; i < p->active.size(); ++i)
+      if (p->active[i] && (p->src[i] == kf_slot || p->dst[i] == kf_slot))
+        p->active[i] = 0;
+}
+
 // Copy a pool's state into caller buffers (each of capacity cap).
 void df_sched_pool(void* h, int32_t kind, int32_t* src, int32_t* dst,
                    int32_t* level, uint8_t* is_frame, uint8_t* active) {
