@@ -60,9 +60,16 @@ def _texture(u: Array, v: Array, p: Array) -> Array:
     return jnp.clip(val, 0.03, 0.97)
 
 
-def random_room(seed: int = 0, n_boxes: int = 3) -> RoomScene:
+def random_room(seed: int = 0, n_boxes: int = 3,
+                freq_scale: float = 1.0) -> RoomScene:
     """Sample a room: 4-7 m footprint, 2.5-3 m height, ``n_boxes`` boxes
-    standing on the floor, random texture parameters per surface."""
+    standing on the floor, random texture parameters per surface.
+
+    ``freq_scale`` scales every texture frequency: the defaults target the
+    256-wide trained camera (finest component ≈ 7-12 px there); cameras with
+    much smaller focal lengths must scale down or the fine texture aliases
+    below ~3 px period and photometric alignment locks onto the wrong
+    texture phase (periodic-texture ambiguity)."""
     rng = np.random.RandomState(seed)
     lx = rng.uniform(4.0, 7.0)
     ly = rng.uniform(2.5, 3.0)
@@ -90,14 +97,19 @@ def random_room(seed: int = 0, n_boxes: int = 3) -> RoomScene:
 
     n_surf = 6 + 6 * n_boxes
     tex = np.zeros((n_surf, _NTEX), np.float32)
-    # frequencies (rad/m) spanning coarse..fine; random phases
-    tex[:, 0] = rng.uniform(1.5, 4.0, n_surf)
-    tex[:, 2] = rng.uniform(1.5, 4.0, n_surf)
-    tex[:, 4] = rng.uniform(4.0, 10.0, n_surf)
-    tex[:, 5] = rng.uniform(4.0, 10.0, n_surf)
-    tex[:, 7] = rng.uniform(10.0, 22.0, n_surf)
-    tex[:, 8] = rng.uniform(10.0, 22.0, n_surf)
-    tex[:, 10] = rng.uniform(25.0, 60.0, n_surf)
+    # Frequencies (rad/m) spanning coarse..fine; random phases. The finest
+    # component is capped near 16 rad/m (~0.4 m period ≈ 40 px at the
+    # 256-wide camera, ≥10 px even under strong foreshortening): texture
+    # curvature at pixel scale is NOT view-consistent under resampling and
+    # biases photometric BA by centimeters (measured) — band-limiting must
+    # happen in TEXTURE space, image-space AA cannot fix oblique views.
+    tex[:, 0] = freq_scale * rng.uniform(0.8, 2.0, n_surf)
+    tex[:, 2] = freq_scale * rng.uniform(0.8, 2.0, n_surf)
+    tex[:, 4] = freq_scale * rng.uniform(2.0, 5.0, n_surf)
+    tex[:, 5] = freq_scale * rng.uniform(2.0, 5.0, n_surf)
+    tex[:, 7] = freq_scale * rng.uniform(5.0, 9.0, n_surf)
+    tex[:, 8] = freq_scale * rng.uniform(5.0, 9.0, n_surf)
+    tex[:, 10] = freq_scale * rng.uniform(10.0, 16.0, n_surf)
     for c in (1, 3, 6, 9, 11):
         tex[:, c] = rng.uniform(0, 2 * np.pi, n_surf)
 
@@ -191,6 +203,38 @@ def render(scene: RoomScene, cam: PinholeCamera, pose: SE3,
     return img.reshape(height, width), t.reshape(height, width)
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "ss"))
+def render_aa(scene: RoomScene, cam: PinholeCamera, pose: SE3,
+              height: int, width: int, ss: int = 2):
+    """Anti-aliased render: image supersampled ``ss``x then binomial
+    blur-down; depth ray-cast at the target resolution.
+
+    The plain ``render`` point-samples an analytic texture, so a warped view
+    resampled bilinearly disagrees with the target image by the texture's
+    curvature at pixel scale (~5e-3 at oblique incidence) — enough to bias
+    photometric BA by centimeters. Real cameras are band-limited by optics;
+    this is the equivalent. Use for any imagery feeding photometric
+    alignment."""
+    from ..geometry import camera as cm
+    from ..ops import image as ipg
+
+    big = cm.resize(cam, width * ss, height * ss)
+    img, _ = render(scene, big, pose, height * ss, width * ss)
+    for _ in range(int(np.log2(ss))):
+        img = ipg.gaussian_blur_down(img)
+    _, dpt = render(scene, cam, pose, height, width)
+    return img, dpt
+
+
+def _np_yaw_pitch_quat(yaw: float, pitch: float) -> np.ndarray:
+    """wxyz quaternion of R = R_y(yaw) · R_x(pitch), computed host-side
+    (per-pose device dispatches through the axon tunnel cost ~7 ms each)."""
+    cy, sy = np.cos(yaw / 2), np.sin(yaw / 2)
+    cp, sp = np.cos(pitch / 2), np.sin(pitch / 2)
+    # quat_mul([cy,0,sy,0], [cp,sp,0,0])
+    return np.array([cy * cp, cy * sp, sy * cp, -sy * sp], np.float32)
+
+
 def orbit_trajectory(n_frames: int, radius: float = 0.8,
                      sweep: float = 2.6 * np.pi, y_bob: float = 0.08,
                      pitch_amp: float = 0.06, look: str = "outward"):
@@ -210,20 +254,21 @@ def orbit_trajectory(n_frames: int, radius: float = 0.8,
         else:
             yaw = np.arctan2(-pos[0], -pos[2])
         pitch = pitch_amp * np.sin(3.0 * np.pi * s)
-        q = se3m.quat_mul(
-            se3m.so3_exp_quat(jnp.asarray([0.0, yaw, 0.0], jnp.float32)),
-            se3m.so3_exp_quat(jnp.asarray([pitch, 0.0, 0.0], jnp.float32)),
-        )
-        poses.append(SE3(q, jnp.asarray(pos)))
+        q = _np_yaw_pitch_quat(yaw, pitch)
+        poses.append(SE3(jnp.asarray(q), jnp.asarray(pos)))
     return poses
 
 
 def render_sequence(scene: RoomScene, cam: PinholeCamera, poses,
-                    height: int, width: int, with_depth: bool = False):
+                    height: int, width: int, with_depth: bool = False,
+                    antialias: bool = True):
     """Render a whole trajectory to host numpy (one dispatch per frame)."""
     imgs, dpts = [], []
     for p in poses:
-        img, dpt = render(scene, cam, p, height, width)
+        if antialias:
+            img, dpt = render_aa(scene, cam, p, height, width)
+        else:
+            img, dpt = render(scene, cam, p, height, width)
         imgs.append(img)
         if with_depth:
             dpts.append(dpt)
@@ -231,6 +276,51 @@ def render_sequence(scene: RoomScene, cam: PinholeCamera, poses,
     if with_depth:
         return imgs, [np.asarray(d) for d in jax.device_get(dpts)]
     return imgs
+
+
+class OracleDecoder:
+    """Ground-truth 'decoder': returns each frame's exact proximity pyramid
+    (zero code Jacobian) — the perfect-decoder upper bound.
+
+    Frames are looked up by image content, so it drops into the Mapper's
+    decoder slot unchanged (build_keyframe_data passes only the image,
+    mirroring DecoderNetwork::Decode's signature). Used by CI-tier e2e tests
+    and as the oracle row of the full-scale ATE bench: the gap between
+    oracle-ATE and trained-decoder-ATE isolates decoder error from
+    solver/tracker error."""
+
+    def __init__(self, frames, depths, levels: int, code_size: int,
+                 avg_dpt: float = 2.0):
+        from ..geometry import warping as wpg
+        from ..ops import image as ipg
+
+        self._ip = ipg
+        self.levels = levels
+        self.code_size = code_size
+        self.avg_dpt = avg_dpt
+        self._lut = {}
+        for img, dpt in zip(frames, depths):
+            key = np.asarray(img, np.float32).tobytes()
+            prx = np.asarray(wpg.depth_to_prox(jnp.asarray(dpt, jnp.float32),
+                                               avg_dpt))
+            self._lut[key] = prx
+
+    def _result(self, img, code):
+        from ..models.decoder import DecodeResult
+
+        key = np.asarray(img, np.float32).tobytes()
+        prx = self._lut[key]
+        prx_pyr = tuple(self._ip.build_pyramid(jnp.asarray(prx), self.levels))
+        jac = tuple(jnp.zeros(p.shape + (self.code_size,), jnp.float32)
+                    for p in prx_pyr)
+        stdev = tuple(jnp.zeros_like(p) for p in prx_pyr)
+        return DecodeResult(prx_pyr, prx_pyr, jac, stdev, code)
+
+    def decode(self, img, code):
+        return self._result(img, code)
+
+    def predict_and_decode(self, img):
+        return self._result(img, jnp.zeros((self.code_size,), jnp.float32))
 
 
 def room_dataset(height: int, width: int, cam: PinholeCamera,
@@ -247,19 +337,15 @@ def room_dataset(height: int, width: int, cam: PinholeCamera,
         th = rng.uniform(0, 2 * np.pi)
         pos = np.array([r * np.cos(th), rng.uniform(-0.25, 0.25),
                         r * np.sin(th)], np.float32)
-        yaw = rng.uniform(0, 2 * np.pi)
-        pitch = rng.uniform(-0.25, 0.25)
-        q = se3m.quat_mul(
-            se3m.so3_exp_quat(jnp.asarray([0.0, yaw, 0.0], jnp.float32)),
-            se3m.so3_exp_quat(jnp.asarray([pitch, 0.0, 0.0], jnp.float32)),
-        )
-        return SE3(q, jnp.asarray(pos))
+        q = _np_yaw_pitch_quat(rng.uniform(0, 2 * np.pi),
+                               rng.uniform(-0.25, 0.25))
+        return SE3(jnp.asarray(q), jnp.asarray(pos))
 
     while True:
         imgs, dpts = [], []
         for _ in range(batch):
             sc = scenes[rng.randint(len(scenes))]
-            img, dpt = render(sc, cam, random_pose(), height, width)
+            img, dpt = render_aa(sc, cam, random_pose(), height, width)
             imgs.append(img)
             dpts.append(dpt)
         imgs, dpts = jax.device_get((imgs, dpts))

@@ -277,6 +277,15 @@ class DeepFactors:
             slot = self.mapper.enqueue_keyframe(np.asarray(img), self.pose_wc)
             self._set_tracker_keyframe(slot)
             self.curr_kf = slot
+            # the cached probe distances predate this keyframe; it was
+            # created AT the camera pose, so it is the closest by
+            # construction — without this, next frame's CLOSEST selection
+            # picks the previous keyframe and the distance policy re-fires
+            # every frame (keyframe churn)
+            if self._last_kf_dists is not None:
+                self._last_kf_dists = np.array(self._last_kf_dists,
+                                               copy=True)
+                self._last_kf_dists[slot] = 0.0
             if self.loop_detector is not None:
                 self._loop_add_keyframe(slot)
             if self.map_callback:

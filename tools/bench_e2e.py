@@ -1,15 +1,24 @@
-"""End-to-end odometry throughput: frames/s through the full DeepFactors
-facade (preprocess -> track -> loop closure -> keyframe/frame policy ->
-mapping), BASELINE.md's ">=2x real-time end-to-end" target (reference claims
-interactive real-time ~30 fps on a CUDA-10-era GPU).
+"""Full-scale end-to-end SLAM benchmark: the facade on a long synthetic
+indoor sequence at the reference problem size (256x192, CS=32, decoder in
+the loop), reporting ATE + throughput.
 
-Synthetic sequence: textured fronto-parallel plane at depth 2 (matches the
-decoder-less flat-prox prior) with a smooth sideways+forward trajectory —
-every stage of the pipeline runs for real (dense tracking, BoW loop queries,
-keyframe decisions, window BA). Reports fps + final pose error vs GT.
+This is the reference's evaluation protocol (long indoor sequences,
+deepfactors.cpp:220-366 per frame, SaveResults + external TUM ATE tooling,
+README.md:156-160) recreated on the procedural room distribution
+(io/synth.py) since no ScanNet data exists in this environment. Every stage
+runs for real: preprocess, dense tracking, BoW + dense-verified loop
+closure, keyframe/frame policies, window BA with keyframe
+marginalization-to-prior past capacity.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_e2e.py [N]
+Prints one JSON line:
+  {"e2e_fps", "ate_m", "ate_scaled_m", "n_keyframes", "n_evicted",
+   "final_err_m", "lost"}
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_e2e.py \
+       [--frames 300] [--decoder data/nets/room256_32] [--save-dir DIR]
 """
+import argparse
+import json
 import sys
 import time
 
@@ -18,80 +27,116 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    from deepfactors_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-    from deepfactors_tpu.geometry import se3 as se3m
-    from deepfactors_tpu.geometry.se3 import SE3
-    from deepfactors_tpu.geometry.camera import PinholeCamera
-    from deepfactors_tpu.geometry.warping import find_correspondence
-    from deepfactors_tpu.ops.image import bilinear_sample
+def build_system(cam, H, W, decoder, max_keyframes=14):
     from deepfactors_tpu.mapping.mapper import MapperConfig
     from deepfactors_tpu.system import DeepFactors, SystemConfig
-
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    H, W = 192, 256
-    cam = PinholeCamera.create(fx=220.0, fy=220.0, u0=W / 2, v0=H / 2,
-                               width=W, height=H)
-    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
-    img0 = (0.5 + 0.25 * np.sin(xs / 9) * np.cos(ys / 7)
-            + 0.15 * np.sin((xs + 2 * ys) / 13)
-            + 0.08 * np.cos(xs / 3.1) * np.sin(ys / 4.3)).astype(np.float32)
-
-    @jax.jit
-    def render(q, t):
-        pix = jnp.stack([jnp.asarray(xs).reshape(-1),
-                         jnp.asarray(ys).reshape(-1)], -1)
-        corr = find_correspondence(
-            pix, jnp.full((H * W,), 2.0), cam,
-            se3m.inverse(SE3(q, t)), border=0, min_dpt=0.0)
-        return bilinear_sample(jnp.asarray(img0), corr.pix1).reshape(H, W)
-
-    # smooth trajectory: sideways sweep + slight push-in + small yaw
-    def gt_pose_tw(i):
-        s = i / max(1, n_frames - 1)
-        t = np.array([0.35 * np.sin(2 * np.pi * s * 0.5),
-                      -0.10 * np.sin(2 * np.pi * s * 0.25), 0.15 * s],
-                     np.float32)
-        yaw = 0.04 * np.sin(2 * np.pi * s * 0.5)
-        q = np.array([np.cos(yaw / 2), 0.0, np.sin(yaw / 2), 0.0], np.float32)
-        return SE3(jnp.asarray(q), jnp.asarray(t))
-
-    frames = []
-    for i in range(n_frames):
-        p = gt_pose_tw(i)
-        frames.append(np.asarray(render(p.q, p.t)))
+    from deepfactors_tpu.loop.vocabulary import random_vocabulary
 
     cfg = SystemConfig(
         mapper=MapperConfig(
-            max_keyframes=12, max_frames=2, max_factors=32, code_size=32,
-            height=H, width=W, pyramid_levels=3, pho_iters=(4, 8, 15),
-            connection_mode="LASTN", max_back_connections=2,
+            max_keyframes=max_keyframes, max_frames=2, max_factors=64,
+            code_size=32, height=H, width=W, pyramid_levels=3,
+            pho_iters=(4, 8, 15), connection_mode="LASTN",
+            max_back_connections=2,
         ),
+        # keyframe policy tuned for the orbit's rotation-heavy motion: the
+        # reference's dataset-odometry flagfiles similarly lower thresholds
+        dist_threshold=0.9,
+        frame_dist_threshold=0.12,
         loop_closure=True,
+        loop_active_window=8,
+        loop_max_dist=0.35,
     )
-    from deepfactors_tpu.loop.vocabulary import random_vocabulary
+    return DeepFactors(cfg, cam, decoder=decoder,
+                       vocabulary=random_vocabulary())
 
-    df = DeepFactors(cfg, cam, decoder=None,
-                     vocabulary=random_vocabulary())
-    df.bootstrap_two_frames(frames[0], frames[1])
 
-    # warm up compiles on the first few frames
-    for i in range(2, 6):
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--decoder", default="data/nets/room256_32")
+    ap.add_argument("--no-decoder", action="store_true")
+    ap.add_argument("--max-keyframes", type=int, default=14)
+    ap.add_argument("--scene-seed", type=int, default=7)
+    ap.add_argument("--save-dir", default=None)
+    ap.add_argument("--warmup", type=int, default=10)
+    args = ap.parse_args()
+
+    from deepfactors_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from deepfactors_tpu.geometry import se3 as se3m
+    from deepfactors_tpu.geometry.camera import PinholeCamera
+    from deepfactors_tpu.io import synth
+    from deepfactors_tpu.utils import tum_io
+
+    H, W = 192, 256
+    cam = PinholeCamera.create(fx=220.0, fy=220.0, u0=W / 2, v0=H / 2,
+                               width=W, height=H)
+
+    decoder = None
+    if not args.no_decoder:
+        from deepfactors_tpu.models.decoder import (Decoder, NetworkConfig,
+                                                    load_params)
+        with open(args.decoder + ".json") as f:
+            nj = json.load(f)
+        ncfg = NetworkConfig(
+            code_size=nj["code_size"], pyramid_levels=nj["pyramid_levels"],
+            input_width=nj["input_width"], input_height=nj["input_height"],
+            avg_dpt=nj["avg_dpt"],
+        )
+        decoder = Decoder(ncfg, params=load_params(args.decoder + ".pkl"))
+
+    print(f"rendering {args.frames}-frame room sequence...", file=sys.stderr)
+    scene = synth.random_room(args.scene_seed, n_boxes=3)
+    poses = synth.orbit_trajectory(args.frames)
+    frames = synth.render_sequence(scene, cam, poses, H, W)
+
+    df = build_system(cam, H, W, decoder, args.max_keyframes)
+    df.bootstrap_two_frames(frames[0], frames[2])
+    # timestamps: frame index (the TUM protocol uses seconds; index is fine
+    # for ATE association)
+    df.trajectory = [(0.0, df.pose_wc)]
+
+    t_warm0 = time.perf_counter()
+    for i in range(3, 3 + args.warmup):
         df.process_frame(float(i), frames[i])
+    jax.block_until_ready(df.mapper.state.pose.t)
+    print(f"warmup {args.warmup} frames: "
+          f"{time.perf_counter() - t_warm0:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
-    for i in range(6, n_frames):
+    for i in range(3 + args.warmup, args.frames):
         df.process_frame(float(i), frames[i])
     jax.block_until_ready(df.mapper.state.pose.t)
     dt = time.perf_counter() - t0
-    fps = (n_frames - 6) / dt
+    n_timed = args.frames - 3 - args.warmup
+    fps = n_timed / dt
 
-    gt_last = se3m.inverse(gt_pose_tw(n_frames - 1))
-    err = float(jnp.linalg.norm(se3m.local(gt_last, df.pose_wc)))
+    # ATE: associate estimated trajectory (timestamps = frame index) with GT
+    est = df.trajectory
+    gt = [(ts, poses[int(ts)]) for ts, _ in est]
+    ate = tum_io.ate_rmse(est, gt)
+    ate_s = tum_io.ate_rmse(est, gt, align_scale=True)
+    gt_last = poses[int(est[-1][0])]
+    final_err = float(jnp.linalg.norm(se3m.local(gt_last, est[-1][1])))
+
     n_kf = len(df.mapper.kf_slots)
-    print(f"frames={n_frames - 6} fps={fps:.1f} keyframes={n_kf} "
-          f"final_pose_err={err:.4f} lost={df.tracking_lost}")
+    n_evicted = len(df.mapper.archived)
+    if args.save_dir:
+        df.save_results(args.save_dir)
+
+    print(json.dumps({
+        "e2e_fps": round(fps, 2),
+        "ate_m": round(ate, 4),
+        "ate_scaled_m": round(ate_s, 4),
+        "n_keyframes": n_kf,
+        "n_evicted": n_evicted,
+        "n_loop_links": len(df.loop_links),
+        "final_err_m": round(final_err, 4),
+        "frames": args.frames,
+        "lost": bool(df.tracking_lost),
+        "decoder": None if args.no_decoder else args.decoder,
+    }))
 
 
 if __name__ == "__main__":
