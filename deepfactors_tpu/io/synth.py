@@ -82,14 +82,20 @@ def random_room(seed: int = 0, n_boxes: int = 3,
         sx = rng.uniform(0.4, 1.2)
         sy = rng.uniform(0.5, 1.6)
         sz = rng.uniform(0.4, 1.2)
-        # keep a free inner disk (radius 1.6 m) for the camera path
-        while True:
+        # keep a free inner disk for the camera path; the clearance relaxes
+        # every 50 rejected draws — for small rooms + large boxes the
+        # initial requirement can be geometrically infeasible and an
+        # unbounded rejection loop would spin forever
+        clearance = 1.6 + 0.5 * max(sx, sz)
+        for attempt in range(400):
             cx = rng.uniform(room_min[0] + 0.3 + sx / 2,
                              room_max[0] - 0.3 - sx / 2)
             cz = rng.uniform(room_min[2] + 0.3 + sz / 2,
                              room_max[2] - 0.3 - sz / 2)
-            if np.hypot(cx, cz) > 1.6 + 0.5 * max(sx, sz):
+            if np.hypot(cx, cz) > clearance:
                 break
+            if attempt % 50 == 49:
+                clearance *= 0.85
         ymax = room_max[1]              # floor (+y face, y down)
         ymin = ymax - sy
         bmin.append([cx - sx / 2, ymin, cz - sz / 2])
