@@ -45,8 +45,19 @@ class DetectorConfig(NamedTuple):
     harris_k: float = 0.04
     nms_radius: int = 2
     border: int = 16           # keep descriptors inside the image
-    score_threshold: float = 1e-7
+    # validity: score > max(score_threshold, rel_threshold * best_score) —
+    # absolute floors fail across texture contrasts (smooth indoor imagery
+    # has Harris maxima orders of magnitude below sharp-checkerboard ones)
+    score_threshold: float = 1e-9
+    rel_threshold: float = 1e-5
     patch_radius: int = 15     # BRIEF pattern radius
+    # scale-space detection (reference BRISK: octaves=4,
+    # feature_detection.h:75-82) — used by detect_pyramid
+    octaves: int = 3
+    # spatial-uniformity grid cell in level-0 pixels (reference BRISK
+    # uniformity_rad=5); 0 disables. One keypoint per cell is prioritized
+    # before remaining capacity fills by score.
+    uniformity_cell: int = 10
 
 
 def _brief_pattern(n_bits: int = 256, radius: int = 15, seed: int = 7):
@@ -142,7 +153,8 @@ def detect(img: Array, cfg: DetectorConfig = DetectorConfig()) -> Features:
         [(top_idx % W).astype(jnp.float32), (top_idx // W).astype(jnp.float32)],
         axis=-1,
     )
-    valid = top_scores > cfg.score_threshold
+    valid = top_scores > jnp.maximum(cfg.score_threshold,
+                                     cfg.rel_threshold * top_scores[0])
 
     angle = _orientation(img, xy)
     desc = _descriptors(img, xy, angle)
@@ -153,3 +165,58 @@ def detect(img: Array, cfg: DetectorConfig = DetectorConfig()) -> Features:
 def detect_batch(imgs: Array, cfg: DetectorConfig = DetectorConfig()) -> Features:
     """vmapped detection over a batch of images [B, H, W]."""
     return jax.vmap(lambda im: detect(im, cfg))(imgs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("W0", "H0", "cell", "K"))
+def _select_uniform(xy: Array, score: Array, valid: Array,
+                    W0: int, H0: int, cell: int, K: int):
+    """Spatial-uniformity selection: the best keypoint of every grid cell is
+    prioritized over all others, then remaining capacity fills by score
+    (reference BRISK uniformity_rad semantics, feature_detection.h:75-82,
+    as a static-shape cell-max instead of radius suppression)."""
+    ncx = (W0 + cell - 1) // cell
+    ncy = (H0 + cell - 1) // cell
+    cx = jnp.clip((xy[:, 0] // cell).astype(jnp.int32), 0, ncx - 1)
+    cy = jnp.clip((xy[:, 1] // cell).astype(jnp.int32), 0, ncy - 1)
+    cid = cy * ncx + cx
+    s = jnp.where(valid, score, -jnp.inf)
+    cell_max = jnp.full((ncx * ncy,), -jnp.inf).at[cid].max(s)
+    # ties inside a cell are measure-zero with float Harris scores
+    is_best = valid & (s >= cell_max[cid]) & jnp.isfinite(s)
+    boost = jnp.where(is_best, 1e6, 0.0)
+    rank = jnp.where(valid, s + boost, -jnp.inf)
+    top_rank, idx = jax.lax.top_k(rank, K)
+    return idx, jnp.isfinite(top_rank)
+
+
+def detect_pyramid(img_pyr, cfg: DetectorConfig = DetectorConfig()) -> Features:
+    """Scale-space detection over ``cfg.octaves`` pyramid levels with
+    spatial-uniformity selection, capacity cfg.max_keypoints.
+
+    Each octave runs the full single-scale pipeline on its level image
+    (orientation + descriptor sampled at that scale, the classic
+    scale-pyramid recipe); keypoint coordinates are mapped back to level 0.
+    Replaces the reference's BRISK octaves=4 scale space
+    (feature_detection.h:75-82)."""
+    octaves = min(cfg.octaves, len(img_pyr))
+    H0, W0 = img_pyr[0].shape
+    per = cfg._replace(max_keypoints=cfg.max_keypoints)
+    cands = []
+    for o in range(octaves):
+        f = detect(img_pyr[o], per)
+        cands.append(f._replace(xy=f.xy * float(2 ** o)))
+    cat = Features(*(jnp.concatenate([getattr(f, n) for f in cands])
+                     for n in Features._fields))
+    if cfg.uniformity_cell > 0:
+        idx, valid = _select_uniform(cat.xy, cat.score, cat.valid,
+                                     W0, H0, cfg.uniformity_cell,
+                                     cfg.max_keypoints)
+    else:
+        s = jnp.where(cat.valid, cat.score, -jnp.inf)
+        top, idx = jax.lax.top_k(s, cfg.max_keypoints)
+        valid = jnp.isfinite(top)
+    return Features(
+        xy=cat.xy[idx], score=cat.score[idx], angle=cat.angle[idx],
+        descriptor=cat.descriptor[idx], valid=valid & cat.valid[idx],
+    )

@@ -73,6 +73,31 @@ def _hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     ).sum(axis=2)
 
 
+def save_vocabulary(path: str, voc: Vocabulary) -> None:
+    np.savez(path, words=np.asarray(voc.words), idf=np.asarray(voc.idf))
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    """Load a trained vocabulary (.npz from save_vocabulary /
+    tools/voc_builder.py) — the reference loads its DBoW2 vocab at Init
+    (loop_detector.cpp:26-34)."""
+    d = np.load(path)
+    return Vocabulary(words=jnp.asarray(d["words"].astype(np.uint32)),
+                      idf=jnp.asarray(d["idf"].astype(np.float32)))
+
+
+def default_vocabulary(num_words: int = 256) -> Vocabulary:
+    """The shipped room-corpus vocabulary if present, else random LSH."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "data",
+        "voc_room256.npz")
+    if os.path.exists(path):
+        return load_vocabulary(path)
+    return random_vocabulary(num_words)
+
+
 def random_vocabulary(num_words: int = 256, seed: int = 3) -> Vocabulary:
     """LSH-style random vocabulary — usable without training data (random
     binary centroids still partition descriptor space)."""

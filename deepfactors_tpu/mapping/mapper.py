@@ -803,8 +803,8 @@ class Mapper:
         if self.cfg.use_reprojection:
             from ..features import detector as det
 
-            features = det.detect(
-                img_pyr[0],
+            features = det.detect_pyramid(
+                img_pyr,
                 det.DetectorConfig(max_keypoints=self.cfg.max_keypoints),
             )
         return img_pyr, grad_pyr, prx0, jac, stdev, code, features

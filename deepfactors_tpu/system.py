@@ -243,8 +243,8 @@ class DeepFactors:
             from .features import detector as det
             from .loop import vocabulary as vb
 
-            cur_feat = det.detect(
-                img_pyr[0],
+            cur_feat = det.detect_pyramid(
+                img_pyr,
                 det.DetectorConfig(
                     max_keypoints=max(self.cfg.mapper.max_keypoints, 64)
                 ),

@@ -79,7 +79,10 @@ def main(argv):
             code_size=sys_cfg.mapper.code_size,
         ), params=params)
 
-    df = DeepFactors(sys_cfg, cam, decoder=decoder)
+    from deepfactors_tpu.loop.vocabulary import default_vocabulary
+
+    df = DeepFactors(sys_cfg, cam, decoder=decoder,
+                     vocabulary=default_vocabulary())
     src_sig = (float(fx), float(fy), float(u0), float(v0), int(W0), int(H0))
     net_sig = (float(cam.fx), float(cam.fy), float(cam.u0), float(cam.v0),
                int(W), int(H))

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 def build_system(cam, H, W, decoder, max_keyframes=14):
     from deepfactors_tpu.mapping.mapper import MapperConfig
     from deepfactors_tpu.system import DeepFactors, SystemConfig
-    from deepfactors_tpu.loop.vocabulary import random_vocabulary
+    from deepfactors_tpu.loop.vocabulary import default_vocabulary
 
     cfg = SystemConfig(
         mapper=MapperConfig(
@@ -48,7 +48,7 @@ def build_system(cam, H, W, decoder, max_keyframes=14):
         loop_max_dist=0.35,
     )
     return DeepFactors(cfg, cam, decoder=decoder,
-                       vocabulary=random_vocabulary())
+                       vocabulary=default_vocabulary())
 
 
 def main():

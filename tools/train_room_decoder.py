@@ -112,22 +112,28 @@ def main():
     model = VAEModel(code_size=CS, levels=L)
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((H, W), jnp.float32)
-    params = model.init(rng, dummy, jnp.full_like(dummy, 0.5), rng, args.beta)
+    # jitted init: unjitted flax init dispatches op-by-op (~7 ms each
+    # through the axon tunnel — minutes for a U-Net)
+    params = jax.jit(model.init, static_argnums=(4,))(
+        rng, dummy, jnp.full_like(dummy, 0.5), rng, args.beta)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(optax.cosine_decay_schedule(
                          args.lr, args.steps, alpha=0.1)))
     state = TrainState(params, tx.init(params), jnp.asarray(0))
     step_fn = make_train_step(model, tx, args.beta)
 
+    # NOTE: the dataset MUST be an argument, not a closure — jit embeds
+    # closed-over arrays as program constants and a 0.5 GB literal wedges
+    # the compiler/tunnel
     @jax.jit
-    def pick(key):
+    def pick(imgs_, gts_, key):
         idx = jax.random.randint(key, (args.batch,), 0, n)
-        return imgs[idx], gts[idx]
+        return imgs_[idx], gts_[idx]
 
     t0 = time.time()
     for i in range(args.steps):
         rng, k1, k2 = jax.random.split(rng, 3)
-        bi, bg = pick(k1)
+        bi, bg = pick(imgs, gts, k1)
         state, loss, aux = step_fn(state, bi, bg, k2)
         if i % args.log_every == 0 or i == args.steps - 1:
             print(f"step {i}: loss={float(loss):.4f} "
@@ -138,22 +144,32 @@ def main():
     dec_params = extract_decoder_params(state.params)
     decoder = Decoder(cfg, params=dec_params)
 
-    # held-out depth quality: zero-code vs predicted-code decode
+    # held-out depth quality: zero-code, predicted-code, and OPTIMAL-code
+    # (ridge least-squares fit of the code to GT prox — the expressiveness
+    # ceiling photometric BA can reach with this decoder)
     @jax.jit
     def eval_one(img, dpt):
         out = decoder._apply(decoder.params, img)
         prx_gt = wp.depth_to_prox(dpt, AVG_DPT)
         code = out["code_pred"]
+        J = out["jac"][0].reshape(-1, CS)
+        r = (prx_gt - out["prx0"][0]).reshape(-1)
+        A = J.T @ J + (1.0 / 1.0**2) * jnp.eye(CS)  # code_prior sigma 1
+        code_opt = jnp.linalg.solve(A, J.T @ r)
         prx_p = out["prx0"][0] + jnp.einsum("hwc,c->hw", out["jac"][0], code)
+        prx_o = out["prx0"][0] + (J @ code_opt).reshape(prx_gt.shape)
         d0 = wp.prox_to_depth(jnp.clip(out["prx0"][0], 1e-4, 1 - 1e-4),
                               AVG_DPT)
         dp = wp.prox_to_depth(jnp.clip(prx_p, 1e-4, 1 - 1e-4), AVG_DPT)
+        do = wp.prox_to_depth(jnp.clip(prx_o, 1e-4, 1 - 1e-4), AVG_DPT)
         return jnp.stack([
             jnp.sqrt(jnp.mean((d0 - dpt) ** 2)),
             jnp.sqrt(jnp.mean((dp - dpt) ** 2)),
             jnp.sqrt(jnp.mean((out["prx0"][0] - prx_gt) ** 2)),
             jnp.sqrt(jnp.mean((prx_p - prx_gt) ** 2)),
             jnp.sqrt(jnp.mean(code ** 2)),
+            jnp.sqrt(jnp.mean((do - dpt) ** 2)),
+            jnp.sqrt(jnp.mean(code_opt ** 2)),
         ])
 
     stats = np.stack([np.asarray(jax.device_get(eval_one(val_imgs[i],
@@ -161,8 +177,9 @@ def main():
                       for i in range(val_imgs.shape[0])])
     mean = stats.mean(0)
     print(f"val depth RMSE: zero-code={mean[0]:.4f}m "
-          f"pred-code={mean[1]:.4f}m | prox RMSE: zero={mean[2]:.4f} "
-          f"pred={mean[3]:.4f} | code rms={mean[4]:.3f}", flush=True)
+          f"pred-code={mean[1]:.4f}m opt-code={mean[5]:.4f}m | "
+          f"prox RMSE: zero={mean[2]:.4f} pred={mean[3]:.4f} | "
+          f"code rms pred={mean[4]:.3f} opt={mean[6]:.3f}", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     save_params(args.out + ".pkl", decoder.params)
@@ -176,6 +193,7 @@ def main():
                            f"steps adamw {args.lr}, beta {args.beta}"),
             "val_depth_rmse_zero_code": round(float(mean[0]), 4),
             "val_depth_rmse_pred_code": round(float(mean[1]), 4),
+            "val_depth_rmse_opt_code": round(float(mean[5]), 4),
             "val_prox_rmse_zero_code": round(float(mean[2]), 4),
             "val_prox_rmse_pred_code": round(float(mean[3]), 4),
         }, f, indent=1)
