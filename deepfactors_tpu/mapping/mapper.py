@@ -1247,3 +1247,118 @@ class Mapper:
 
     def keyframe_codes(self) -> Array:
         return self.state.code
+
+    def dump_state(self, verbose_errors: bool = False) -> dict:
+        """Observability dump: work list, factor pools, keyframe table,
+        links, marginal priors — the PrintWork/verbose-factor logging of the
+        reference (mapper.cpp:591-632). With ``verbose_errors`` each active
+        photometric factor is evaluated once (residual + inliers), one
+        batched dispatch."""
+        out: dict = {"keyframes": [], "works": [], "photo_factors": [],
+                     "rep_factors": [], "geo_factors": [], "links": [],
+                     "archived": [dict(a, q=a["q"].tolist(),
+                                       t=a["t"].tolist())
+                                  for a in self.archived]}
+        ids = np.asarray(jax.device_get(self.state.ids))
+        marg = np.asarray(jax.device_get(self.marginals.active))
+        poses_t = np.asarray(jax.device_get(self.state.pose.t))
+        code_n = np.asarray(jax.device_get(
+            jnp.linalg.norm(self.state.code, axis=-1)))
+        for s in self.kf_slots:
+            out["keyframes"].append({
+                "slot": s, "id": int(ids[s]),
+                "t": [round(float(x), 4) for x in poses_t[s]],
+                "code_norm": round(float(code_n[s]), 4),
+                "has_marginal_prior": bool(marg[s]),
+            })
+        from .scheduler import PyScheduler
+
+        if isinstance(self.sched, PyScheduler):
+            for w in self.sched.wm.work:
+                out["works"].append({
+                    "name": w.name, "level": w.active_level,
+                    "iters": list(w.iters), "first": w.first,
+                    "remove": w.remove, "pool_slot": w.pool_slot,
+                })
+        pool = self.sched.photo_pool
+        err = inl = None
+        if verbose_errors and np.any(pool.active & ~pool.dst_is_frame):
+            err, inl = self._eval_factor_errors()
+        for i in range(self.cfg.max_factors):
+            if not pool.active[i]:
+                continue
+            row = {"slot": i, "src": int(pool.src[i]),
+                   "dst": int(pool.dst[i]),
+                   "dst_is_frame": bool(pool.dst_is_frame[i]),
+                   "level": int(pool.level[i])}
+            if err is not None and not pool.dst_is_frame[i]:
+                row["residual"] = round(float(err[i]), 6)
+                row["inliers"] = int(inl[i])
+            out["photo_factors"].append(row)
+        for name, p in (("rep_factors", self.rep_pool),
+                        ("geo_factors", self.geo_pool)):
+            for i in range(len(p.active)):
+                if p.active[i]:
+                    out[name].append({"slot": i, "src": int(p.src[i]),
+                                      "dst": int(p.dst[i])})
+        out["links"] = [list(pair) for _, pair in self.links_host]
+        return out
+
+    def _eval_factor_errors(self):
+        """One batched photometric evaluation of every active kf->kf factor
+        at its pool level (PhotometricFactor::error, the SaveGraphs/verbose
+        data source)."""
+        pool = self.sched.photo_pool
+        cams = camera_pyramid(self.cam, self.cfg.pyramid_levels)
+        params = ds.SfmParams(
+            huber_delta=self.cfg.huber_delta, avg_dpt=self.cfg.avg_dpt,
+            min_dpt=self.cfg.min_dpt, valid_border=self.cfg.valid_border,
+        )
+        state = ms.update_depth_all(self.state, self.cfg.avg_dpt)
+        errs = np.zeros(self.cfg.max_factors)
+        inls = np.zeros(self.cfg.max_factors)
+        for i in range(self.cfg.max_factors):
+            if not pool.active[i] or pool.dst_is_frame[i]:
+                continue
+            s, d, l = int(pool.src[i]), int(pool.dst[i]), int(pool.level[i])
+            lvl = state.levels[l]
+            r = ds.sfm_evaluate_error(
+                se3m.index(state.pose, s), se3m.index(state.pose, d),
+                cams[l], lvl.img[s], lvl.img[d], lvl.dpt[s], lvl.stdev[s],
+                lvl.grad[d], params)
+            errs[i] = float(r.residual)
+            inls[i] = float(r.inliers)
+        return errs, inls
+
+    def save_graphs(self, path: str):
+        """Graphviz export of the factor graph (SaveGraphs,
+        mapper.cpp:569-587): keyframe/frame nodes, factor edges labeled by
+        kind + level."""
+        lines = ["graph factors {", "  node [shape=circle];"]
+        ids = np.asarray(jax.device_get(self.state.ids))
+        for s in self.kf_slots:
+            lines.append(f'  k{s} [label="kf{int(ids[s])}"];')
+        for s in self.frame_slots:
+            if self.frame_active_host[s] and not self.frame_marg_host[s]:
+                lines.append(
+                    f'  f{s} [label="fr{s}" shape=box];')
+        pool = self.sched.photo_pool
+        for i in range(self.cfg.max_factors):
+            if pool.active[i]:
+                dst = (f"f{int(pool.dst[i])}" if pool.dst_is_frame[i]
+                       else f"k{int(pool.dst[i])}")
+                lines.append(f'  k{int(pool.src[i])} -- {dst} '
+                             f'[label="pho L{int(pool.level[i])}"];')
+        for p, kind in ((self.rep_pool, "rep"), (self.geo_pool, "geo")):
+            for i in range(len(p.active)):
+                if p.active[i]:
+                    lines.append(f'  k{int(p.src[i])} -- k{int(p.dst[i])} '
+                                 f'[label="{kind}" style=dashed];')
+        marg = np.asarray(jax.device_get(self.marginals.active))
+        for s in self.kf_slots:
+            if marg[s]:
+                lines.append(f'  m{s} [label="prior" shape=diamond];')
+                lines.append(f"  m{s} -- k{s};")
+        lines.append("}")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")

@@ -106,6 +106,52 @@ def export_map_ply(path: str, mapper, cam: PinholeCamera, level: int = 0):
     return sum(len(x) for x in all_xyz)
 
 
+def export_error_mosaics(path: str, mapper, cam, level: int = 0):
+    """Per-factor photometric error images as one mosaic png (the debug
+    error-image dumps of the reference, mapper.cpp:647-795): for every
+    active kf->kf factor, |img0 − warp(img1)| masked by warp validity."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from .geometry import se3 as se3m, warping as wp
+    from .geometry.camera import camera_pyramid
+    from .mapping import map_state as ms
+    from .ops import image as ip
+
+    state = ms.update_depth_all(mapper.state, mapper.cfg.avg_dpt)
+    cams = camera_pyramid(cam, mapper.cfg.pyramid_levels)
+    pool = mapper.sched.photo_pool
+    lvl = state.levels[level]
+    H, W = lvl.img.shape[1:]
+    pix = jnp.stack(jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                                 jnp.arange(H, dtype=jnp.float32)),
+                    -1).reshape(-1, 2)
+
+    tiles, labels = [], []
+    for i in range(mapper.cfg.max_factors):
+        if not pool.active[i] or pool.dst_is_frame[i]:
+            continue
+        s, d = int(pool.src[i]), int(pool.dst[i])
+        pose_10 = se3m.mul(se3m.inverse(se3m.index(state.pose, d)),
+                           se3m.index(state.pose, s))
+        corr = wp.find_correspondence(pix, lvl.dpt[s].reshape(-1), cams[level],
+                                      pose_10, border=1)
+        samp = ip.bilinear_sample(lvl.img[d], corr.pix1).reshape(H, W)
+        err = jnp.abs(lvl.img[s] - samp) * corr.valid.reshape(H, W)
+        tiles.append(np.asarray(jax.device_get(err)))
+        labels.append(f"{s}->{d}")
+    if not tiles:
+        return None
+    vmax = max(1e-6, max(float(t.max()) for t in tiles))
+    colored = [apply_colormap(t, vmin=0.0, vmax=vmax) for t in tiles]
+    cols = int(np.ceil(np.sqrt(len(colored))))
+    rows = int(np.ceil(len(colored) / cols))
+    mosaic = create_mosaic(colored, rows, cols)
+    cv2.imwrite(path, mosaic[..., ::-1])  # RGB -> BGR for cv2
+    return labels
+
+
 def apply_colormap(img: np.ndarray, vmin=None, vmax=None) -> np.ndarray:
     """Turbo-ish depth colormap -> [H, W, 3] uint8 (display_utils
     apply_colormap equivalent)."""

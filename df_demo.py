@@ -140,6 +140,20 @@ def main(argv):
         raise
 
     df.save_results(log_dir)
+    if flags.get("dump_state", "false").lower() == "true":
+        # observability dumps (mapper.cpp:569-632 SaveGraphs/PrintWork +
+        # :647-795 error-image mosaics)
+        import json as _json
+
+        from deepfactors_tpu import viz
+
+        with open(os.path.join(log_dir, "state.json"), "w") as f:
+            _json.dump(df.mapper.dump_state(verbose_errors=True), f,
+                       indent=1)
+        df.mapper.save_graphs(os.path.join(log_dir, "factor_graph.dot"))
+        viz.export_error_mosaics(
+            os.path.join(log_dir, "photo_errors.png"), df.mapper, cam)
+        print(f"state dumps -> {log_dir}", flush=True)
     dt = time.perf_counter() - t_start
     print(f"done: {n_frames} frames in {dt:.1f}s ({n_frames / max(dt, 1e-9):.1f} fps), "
           f"{len(df.mapper.kf_slots)} keyframes -> {log_dir}", flush=True)
