@@ -26,8 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import se3 as se3m
+from ..geometry import camera as cm
 from ..geometry.se3 import SE3
 from ..geometry.camera import PinholeCamera
+from ..ops import image as ipg
 
 Array = jax.Array
 
@@ -221,9 +223,6 @@ def render_aa(scene: RoomScene, cam: PinholeCamera, pose: SE3,
     photometric BA by centimeters. Real cameras are band-limited by optics;
     this is the equivalent. Use for any imagery feeding photometric
     alignment."""
-    from ..geometry import camera as cm
-    from ..ops import image as ipg
-
     big = cm.resize(cam, width * ss, height * ss)
     img, _ = render(scene, big, pose, height * ss, width * ss)
     for _ in range(int(np.log2(ss))):
@@ -298,7 +297,6 @@ class OracleDecoder:
     def __init__(self, frames, depths, levels: int, code_size: int,
                  avg_dpt: float = 2.0):
         from ..geometry import warping as wpg
-        from ..ops import image as ipg
 
         self._ip = ipg
         self.levels = levels

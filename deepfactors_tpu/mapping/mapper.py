@@ -671,32 +671,103 @@ class Mapper:
         )
 
     def marginalize_keyframe(self, victim: int) -> int:
-        """Evict keyframe ``victim``: fold each of its photometric factors
-        into a marginal prior over the surviving neighbor (Schur elimination
-        of the victim's pose+code block — the ``marginalizeLeaves``
-        equivalent, mapper.cpp:395-436), archive its final pose, and free the
-        slot plus all factors/works/links touching it. Returns the slot."""
+        """Evict keyframe ``victim``: JOINTLY eliminate its (pose, code)
+        block from the sum of all factors touching it — photometric factors
+        PLUS the victim's zero-code prior and its accumulated marginal
+        prior — and distribute the resulting marginal information to the
+        surviving neighbors (the ``marginalizeLeaves`` equivalent,
+        mapper.cpp:395-436). Archives the final pose and frees the slot plus
+        all factors/works/links touching it. Returns the slot.
+
+        The joint elimination is essential: per-factor elimination of a
+        code block WITHOUT the code prior inverts a near-singular Hessian
+        (texture-poor code directions) and injects unbounded priors.
+        Cross-neighbor information blocks are dropped (MarginalStore is
+        per-keyframe block-diagonal) — the same sparsification spirit as
+        the reference's LASTN connections (mapper.cpp:1011-1037)."""
         assert victim in self.kf_slots
         self.marginalize_frames()  # frame factors reference keyframes
+        CS = self.cfg.code_size
+        B = 6 + CS
         pool = self.sched.photo_pool
+        facs = []
+        neighbors: list[int] = []
         for i in range(self.cfg.max_factors):
             if not pool.active[i] or pool.dst_is_frame[i]:
                 continue
             s, d = int(pool.src[i]), int(pool.dst[i])
             if victim not in (s, d):
                 continue
-            neighbor = d if s == victim else s
-            if neighbor not in self.kf_slots:
+            nb = d if s == victim else s
+            if nb not in self.kf_slots:
                 continue
-            H, b = self._marginalize_kf_fn(int(pool.level[i]), s == victim)(
-                self.state, jnp.asarray(s, jnp.int32),
-                jnp.asarray(d, jnp.int32)
-            )
-            self.marginals = mg.add_prior(
-                self.marginals, neighbor, H, b,
-                se3m.index(self.state.pose, neighbor),
-                self.state.code[neighbor],
-            )
+            if nb not in neighbors:
+                neighbors.append(nb)
+            facs.append((s, d, int(pool.level[i])))
+        if facs:
+            D = (1 + len(neighbors)) * B
+            Hj = np.zeros((D, D), np.float64)
+            gj = np.zeros((D,), np.float64)
+
+            def base(slot):
+                return 0 if slot == victim else B * (1 + neighbors.index(slot))
+
+            for (s, d, level) in facs:
+                JtJ, Jtr = jax.device_get(self._linearize_pair_fn(level)(
+                    self.state, jnp.asarray(s, jnp.int32),
+                    jnp.asarray(d, jnp.int32)))
+                # factor layout [pose_s(6) | pose_d(6) | code_s(CS)]
+                jidx = np.concatenate([
+                    base(s) + np.arange(6),
+                    base(d) + np.arange(6),
+                    base(s) + 6 + np.arange(CS),
+                ])
+                Hj[np.ix_(jidx, jidx)] += np.asarray(JtJ, np.float64)
+                gj[jidx] += np.asarray(Jtr, np.float64)
+            # victim's zero-code prior (df_work.cpp:29-57) — the victim owns
+            # it, so its information must be folded, and it regularizes the
+            # eliminated code block
+            w_c = 1.0 / self.cfg.code_prior**2
+            code_v = np.asarray(jax.device_get(self.state.code[victim]),
+                                np.float64)
+            Hj[6:B, 6:B] += w_c * np.eye(CS)
+            gj[6:B] += w_c * code_v
+            # victim's own accumulated marginal prior (from frames/earlier
+            # evictions), transported to the current estimate
+            mH, mb, mact = jax.device_get((
+                self.marginals.H[victim], self.marginals.b[victim],
+                self.marginals.active[victim]))
+            if bool(mact):
+                anchor = SE3(self.marginals.anchor_q[victim],
+                             self.marginals.anchor_t[victim])
+                r = np.concatenate([
+                    np.asarray(jax.device_get(se3m.local(
+                        anchor, se3m.index(self.state.pose, victim)))),
+                    np.asarray(jax.device_get(
+                        self.state.code[victim]
+                        - self.marginals.anchor_c[victim])),
+                ]).astype(np.float64)
+                mH = np.asarray(mH, np.float64)
+                Hj[:B, :B] += mH
+                gj[:B] += mH @ r + np.asarray(mb, np.float64)
+            # joint Schur elimination of the victim block
+            Hvv = Hj[:B, :B] + 1e-6 * np.eye(B)
+            Hnv = Hj[B:, :B]
+            sol_H = np.linalg.solve(Hvv, Hnv.T)       # [B, N*B]
+            Hnn = Hj[B:, B:] - Hnv @ sol_H
+            gn = gj[B:] - Hnv @ np.linalg.solve(Hvv, gj[:B])
+            for i, nb in enumerate(neighbors):
+                blk = slice(i * B, (i + 1) * B)
+                Hb = 0.5 * (Hnn[blk, blk] + Hnn[blk, blk].T)
+                # PSD projection (NearestPsd hardening, nearest_psd.h:28-99)
+                w, V = np.linalg.eigh(Hb)
+                Hb = (V * np.clip(w, 0.0, None)) @ V.T
+                self.marginals = mg.add_prior(
+                    self.marginals, nb,
+                    jnp.asarray(Hb, jnp.float32),
+                    jnp.asarray(gn[blk], jnp.float32),
+                    se3m.index(self.state.pose, nb), self.state.code[nb],
+                )
         # archive the final pose before the slot is reused (SaveResults
         # writes per-keyframe poses, deepfactors.cpp:574-594)
         kid = next((k for k, v in self.kf_ids.items() if v == victim), -1)
@@ -729,14 +800,14 @@ class Mapper:
             self.evict_callback(victim, kid)
         return victim
 
-    def _marginalize_kf_fn(self, level: int, victim_is_src: bool):
-        """Jitted kf->kf factor fold at a pyramid level (cached per
-        (level, direction))."""
-        if not hasattr(self, "_marg_kf_cache"):
-            self._marg_kf_cache = {}
-        key = (level, victim_is_src)
-        if key in self._marg_kf_cache:
-            return self._marg_kf_cache[key]
+    def _linearize_pair_fn(self, level: int):
+        """Jitted full kf->kf photometric linearization at a pyramid level:
+        returns (JtJ [12+CS, 12+CS], Jtr) in the factor layout
+        [pose_src | pose_dst | code_src] (cached per level)."""
+        if not hasattr(self, "_linpair_cache"):
+            self._linpair_cache = {}
+        if level in self._linpair_cache:
+            return self._linpair_cache[level]
         cfg = self.cfg
         cams = camera_pyramid(self.cam, cfg.pyramid_levels)
         params = ds.SfmParams(
@@ -745,7 +816,7 @@ class Mapper:
         )
 
         @jax.jit
-        def fold(state, src, dst):
+        def lin(state, src, dst):
             state = ms.update_depth_all(state, cfg.avg_dpt)
             lvl = state.levels[level]
             sys, _ = ds.sfm_step(
@@ -756,12 +827,10 @@ class Mapper:
                 lvl.grad[dst],
                 params, grad_mode=cfg.grad_mode,
             )
-            return mg.schur_marginalize_keyframe(
-                sys.JtJ, sys.Jtr, cfg.code_size, victim_is_src
-            )
+            return sys.JtJ, sys.Jtr
 
-        self._marg_kf_cache[key] = fold
-        return fold
+        self._linpair_cache[level] = lin
+        return lin
 
     def _alloc_frame_slot(self) -> int:
         for s in range(self.cfg.max_frames):
@@ -784,11 +853,21 @@ class Mapper:
         grad_pyr = ip.build_gradient_pyramid(img_pyr)
         if self.decoder is not None:
             if code is None:
+                # PredictAndDecode (decoder_network.cpp:139-229), then FOLD
+                # the predicted code into prx0 and re-zero the code: the
+                # linear decode prx0 + J·c_pred is exactly representable as
+                # a new zero-code point, and the mapper's zero-code prior
+                # (df_work.cpp:29-57) then anchors depth at the PREDICTION
+                # instead of dragging it to the unconditional zero-code
+                # decode. (The reference's strong-KL decoder makes the two
+                # coincide; ours carries signal in the predicted code.)
                 dec = self.decoder.predict_and_decode(img)
-                code = dec.code
+                prx0 = dec.prx           # prx0 + J·c_pred per level
+                jac, stdev = dec.jac, dec.stdev
+                code = jnp.zeros_like(dec.code)
             else:
                 dec = self.decoder.decode(img, code)
-            prx0, jac, stdev = dec.prx0, dec.jac, dec.stdev
+                prx0, jac, stdev = dec.prx0, dec.jac, dec.stdev
         else:
             # decoder-less mode (testing): flat prox with zero jacobian
             CS = self.cfg.code_size

@@ -73,47 +73,6 @@ def schur_marginalize_frame(JtJ: Array, Jtr: Array, CS: int, damping=1e-6):
     return clip_eigenvalues(H_marg), b_marg
 
 
-def schur_marginalize_keyframe(JtJ: Array, Jtr: Array, CS: int,
-                               victim_is_src: bool, damping=1e-6):
-    """Eliminate the *victim keyframe's* blocks from a kf->kf photometric
-    factor system, producing a marginal prior over the surviving neighbor.
-
-    The reference grows its map unboundedly, keeping stale keyframes at the
-    Bayes-tree periphery (mapper.cpp:478-510) and sparsifying connections
-    (BuildBackConnections LASTN, mapper.cpp:1011-1037); with fixed-capacity
-    TPU pools the equivalent is explicit marginalization: the evicted
-    keyframe's factors are linearized once more and its (pose, code) block is
-    Schur-eliminated — the same elimination ``marginalizeLeaves``
-    (mapper.cpp:395-436) performs inside ISAM2.
-
-    Factor layout [pose_src(6) | pose_dst(6) | code_src(CS)]
-    (ops/dense_sfm.sfm_step). Returns (H [6+CS, 6+CS], b [6+CS]) over the
-    neighbor's (pose, code) in MarginalStore layout; when the victim is the
-    src, the factor carries no information about the neighbor's code, so the
-    code block is zero."""
-    if victim_is_src:
-        keep = jnp.arange(6, 12)
-        elim = jnp.concatenate([jnp.arange(6), 12 + jnp.arange(CS)])
-    else:
-        keep = jnp.concatenate([jnp.arange(6), 12 + jnp.arange(CS)])
-        elim = jnp.arange(6, 12)
-    Hkk = JtJ[jnp.ix_(keep, keep)]
-    Hke = JtJ[jnp.ix_(keep, elim)]
-    Hee = JtJ[jnp.ix_(elim, elim)] + damping * jnp.eye(elim.shape[0])
-    Hee_inv = jnp.linalg.inv(Hee)
-    H_marg = Hkk - Hke @ Hee_inv @ Hke.T
-    b_marg = Jtr[keep] - Hke @ Hee_inv @ Jtr[elim]
-    from ..solver.nearest_psd import clip_eigenvalues
-
-    H_marg = clip_eigenvalues(H_marg)
-    if victim_is_src:
-        D = 6 + CS
-        Hf = jnp.zeros((D, D), JtJ.dtype).at[:6, :6].set(H_marg)
-        bf = jnp.zeros((D,), Jtr.dtype).at[:6].set(b_marg)
-        return Hf, bf
-    return H_marg, b_marg
-
-
 def clear(store: MarginalStore, slot) -> MarginalStore:
     """Drop the marginal prior of an evicted slot (its information referenced
     only the evicted variable)."""
@@ -128,12 +87,22 @@ def clear(store: MarginalStore, slot) -> MarginalStore:
 def add_prior(store: MarginalStore, slot, H: Array, b: Array,
               pose: SE3, code: Array) -> MarginalStore:
     """Accumulate a marginal prior for keyframe ``slot`` anchored at the
-    current (pose, code). If a prior already exists at a different anchor the
-    accumulation uses the standard re-anchoring approximation (valid for
-    converged windows)."""
+    current (pose, code).
+
+    An existing prior at an older anchor is re-anchored first: its gradient
+    is transported to the new linearization point (b_old' = H_old·r + b_old
+    with r the old-anchor residual at the new anchor; H kept — the standard
+    relinearization-free prior shift). Without the transport, summed priors
+    act at inconsistent anchors and drag the variable."""
+    old_anchor = SE3(store.anchor_q[slot], store.anchor_t[slot])
+    r_pose = se3m.local(old_anchor, pose)
+    r_code = code - store.anchor_c[slot]
+    r = jnp.concatenate([r_pose, r_code])
+    w = store.active[slot].astype(store.b.dtype)
+    b_shift = w * (store.H[slot] @ r)
     return MarginalStore(
         H=store.H.at[slot].add(H),
-        b=store.b.at[slot].add(b),
+        b=store.b.at[slot].add(b + b_shift),
         anchor_q=store.anchor_q.at[slot].set(pose.q),
         anchor_t=store.anchor_t.at[slot].set(pose.t),
         anchor_c=store.anchor_c.at[slot].set(code),

@@ -27,21 +27,21 @@ import jax
 import jax.numpy as jnp
 
 
-def build_system(cam, H, W, decoder, max_keyframes=14):
+def build_system(cam, H, W, decoder, max_keyframes=32,
+                 dist_threshold=2.0):
     from deepfactors_tpu.mapping.mapper import MapperConfig
     from deepfactors_tpu.system import DeepFactors, SystemConfig
     from deepfactors_tpu.loop.vocabulary import default_vocabulary
 
     cfg = SystemConfig(
         mapper=MapperConfig(
-            max_keyframes=max_keyframes, max_frames=2, max_factors=64,
+            max_keyframes=max_keyframes, max_frames=2,
+            max_factors=4 * max_keyframes,
             code_size=32, height=H, width=W, pyramid_levels=3,
             pho_iters=(4, 8, 15), connection_mode="LASTN",
             max_back_connections=2,
         ),
-        # keyframe policy tuned for the orbit's rotation-heavy motion: the
-        # reference's dataset-odometry flagfiles similarly lower thresholds
-        dist_threshold=0.9,
+        dist_threshold=dist_threshold,
         frame_dist_threshold=0.12,
         loop_closure=True,
         loop_active_window=8,
@@ -56,7 +56,8 @@ def main():
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--decoder", default="data/nets/room256_32")
     ap.add_argument("--no-decoder", action="store_true")
-    ap.add_argument("--max-keyframes", type=int, default=14)
+    ap.add_argument("--max-keyframes", type=int, default=32)
+    ap.add_argument("--dist-threshold", type=float, default=2.0)
     ap.add_argument("--scene-seed", type=int, default=7)
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--warmup", type=int, default=10)
@@ -91,7 +92,8 @@ def main():
     poses = synth.orbit_trajectory(args.frames)
     frames = synth.render_sequence(scene, cam, poses, H, W)
 
-    df = build_system(cam, H, W, decoder, args.max_keyframes)
+    df = build_system(cam, H, W, decoder, args.max_keyframes,
+                      args.dist_threshold)
     df.bootstrap_two_frames(frames[0], frames[2])
     # timestamps: frame index (the TUM protocol uses seconds; index is fine
     # for ATE association)
