@@ -45,6 +45,13 @@ def ate_rmse(est, gt, align_scale: bool = False) -> float:
     P = np.stack([np.asarray(p.t, np.float64) for _, p in est])  # [N, 3]
     Q = np.stack([np.asarray(p.t, np.float64) for _, p in gt])
     assert P.shape == Q.shape and len(P) >= 3
+    finite = np.isfinite(P).all(axis=1) & np.isfinite(Q).all(axis=1)
+    if not finite.all():
+        # non-finite estimates would NaN the Umeyama SVD; align on the
+        # finite subset (callers should surface the bad count separately)
+        P, Q = P[finite], Q[finite]
+        if len(P) < 3:
+            return float("inf")
     mp, mq = P.mean(0), Q.mean(0)
     Pc, Qc = P - mp, Q - mq
     W = Qc.T @ Pc / len(P)

@@ -19,6 +19,7 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_e2e.py \
 """
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -42,6 +43,11 @@ def build_system(cam, H, W, decoder, max_keyframes=32,
             max_back_connections=2,
         ),
         dist_threshold=dist_threshold,
+        # the lost check runs BEFORE the keyframe policy each frame
+        # (deepfactors.cpp:220-366 ordering): keep it strictly above the
+        # keyframe threshold or the system declares lost at exactly the
+        # distance where it should have made a keyframe
+        tracking_dist_threshold=2.5 * dist_threshold,
         frame_dist_threshold=0.12,
         loop_closure=True,
         loop_active_window=8,
@@ -57,7 +63,10 @@ def main():
     ap.add_argument("--decoder", default="data/nets/room256_32")
     ap.add_argument("--no-decoder", action="store_true")
     ap.add_argument("--max-keyframes", type=int, default=32)
-    ap.add_argument("--dist-threshold", type=float, default=2.0)
+    ap.add_argument("--dist-threshold", type=float, default=1.2)
+    # >2π sweep revisits the start; 3.2π puts the revisit gap (~187
+    # frames) inside the retained keyframe window so loop closure can fire
+    ap.add_argument("--sweep", type=float, default=3.2 * np.pi)
     ap.add_argument("--scene-seed", type=int, default=7)
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--warmup", type=int, default=10)
@@ -87,10 +96,18 @@ def main():
         )
         decoder = Decoder(ncfg, params=load_params(args.decoder + ".pkl"))
 
-    print(f"rendering {args.frames}-frame room sequence...", file=sys.stderr)
     scene = synth.random_room(args.scene_seed, n_boxes=3)
-    poses = synth.orbit_trajectory(args.frames)
-    frames = synth.render_sequence(scene, cam, poses, H, W)
+    poses = synth.orbit_trajectory(args.frames, sweep=args.sweep)
+    cache = (f"/tmp/room_seq_{args.scene_seed}_{args.frames}_"
+             f"{args.sweep:.3f}_{H}x{W}.npz")
+    if os.path.exists(cache):
+        print(f"loading cached sequence {cache}", file=sys.stderr)
+        frames = list(np.load(cache)["frames"])
+    else:
+        print(f"rendering {args.frames}-frame room sequence...",
+              file=sys.stderr)
+        frames = synth.render_sequence(scene, cam, poses, H, W)
+        np.savez_compressed(cache, frames=np.stack(frames))
 
     df = build_system(cam, H, W, decoder, args.max_keyframes,
                       args.dist_threshold)
@@ -117,6 +134,8 @@ def main():
     # ATE: associate estimated trajectory (timestamps = frame index) with GT
     est = df.trajectory
     gt = [(ts, poses[int(ts)]) for ts, _ in est]
+    n_bad = sum(1 for _, p in est
+                if not np.isfinite(np.asarray(p.t)).all())
     ate = tum_io.ate_rmse(est, gt)
     ate_s = tum_io.ate_rmse(est, gt, align_scale=True)
     gt_last = poses[int(est[-1][0])]
@@ -136,6 +155,8 @@ def main():
         "n_loop_links": len(df.loop_links),
         "final_err_m": round(final_err, 4),
         "frames": args.frames,
+        "n_nonfinite_poses": n_bad,
+        "n_tracked": len(est),
         "lost": bool(df.tracking_lost),
         "decoder": None if args.no_decoder else args.decoder,
     }))
