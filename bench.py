@@ -207,9 +207,17 @@ def main():
                                width=W, height=H)
     decoder, dec_name = load_decoder()
 
+    def stage(name):
+        print(f"[bench {time.strftime('%H:%M:%S')}] {name}", file=sys.stderr,
+              flush=True)
+
+    stage("ba")
     ba_iters_per_s, n_factors, pool_cap, m = bench_ba(cam)
+    stage("tracking")
     track_fps = bench_tracking(cam, m)
+    stage("keyframes")
     kf_per_s = bench_keyframes(cam, decoder) if decoder else None
+    stage("e2e")
     try:
         e2e_fps, ate_m, n_kf, n_evicted = bench_e2e(cam, decoder)
     except Exception as e:  # keep the headline metric robust
