@@ -178,7 +178,9 @@ def bench_e2e(cam, decoder, n_frames=120):
     scene = synth.random_room(7, n_boxes=3)
     poses = synth.orbit_trajectory(n_frames)
     frames = synth.render_sequence(scene, cam, poses, H, W)
-    df = build_system(cam, H, W, decoder, max_keyframes=10)
+    # thresholds mirror tools/bench_e2e.py's tuned CLI defaults
+    df = build_system(cam, H, W, decoder, max_keyframes=10,
+                      dist_threshold=1.2)
     df.bootstrap_two_frames(frames[0], frames[2])
     df.trajectory = [(0.0, df.pose_wc)]
     warm = 10

@@ -243,6 +243,7 @@ class DeepFactors:
             from .features import detector as det
             from .loop import vocabulary as vb
 
+            tic("features+bow")
             cur_feat = det.detect_pyramid(
                 img_pyr,
                 det.DetectorConfig(
@@ -251,6 +252,7 @@ class DeepFactors:
             )
             bow_v = vb.bow_vector(self.loop_detector.voc,
                                   cur_feat.descriptor, cur_feat.valid)
+            toc("features+bow")
 
         # ONE host round trip: every decision scalar of this frame
         tic("probe")
@@ -270,7 +272,9 @@ class DeepFactors:
             self.pose_callback(new_pose_wc)
 
         if self.loop_detector is not None:
+            tic("loop closure")
             self._loop_closure(img_pyr, grad_pyr, probe, cur_feat)
+            toc("loop closure")
 
         if self._new_keyframe_required(probe):
             tic("enqueue keyframe")
@@ -433,10 +437,18 @@ class DeepFactors:
         return pose
 
     def _check_tracking_lost(self, probe: dict) -> bool:
-        """CheckTrackingLost (deepfactors.cpp:852-879)."""
-        error_too_big = probe["error"] > self.cfg.tracking_error_threshold
-        kf_too_far = (probe["d_full"][self.curr_kf]
-                      > self.cfg.tracking_dist_threshold)
+        """CheckTrackingLost (deepfactors.cpp:852-879).
+
+        Non-finite error/distance means the dense alignment diverged (NaN
+        pose); NaN compares False against any threshold, so it must be
+        declared lost explicitly or the NaN pose poisons the trajectory,
+        the keyframe pools and every later one-hot gather."""
+        err = float(probe["error"])
+        dist = float(probe["d_full"][self.curr_kf])
+        error_too_big = (not np.isfinite(err)
+                         or err > self.cfg.tracking_error_threshold)
+        kf_too_far = (not np.isfinite(dist)
+                      or dist > self.cfg.tracking_dist_threshold)
         return bool(error_too_big or kf_too_far)
 
     # ------------------------------------------------------------------

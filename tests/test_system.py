@@ -110,3 +110,22 @@ def test_force_keyframe(system_run):
     df.force_keyframe()
     df.process_frame(99.0, frames[-1])
     assert len(df.mapper.kf_slots) == n_kf + 1
+
+
+def test_nonfinite_tracking_declared_lost():
+    """A diverged dense alignment yields NaN error/distance; NaN compares
+    False against any threshold, so the lost check must catch it explicitly
+    or the NaN pose poisons the trajectory and the keyframe pools."""
+    import types
+
+    fake = types.SimpleNamespace(
+        cfg=types.SimpleNamespace(tracking_error_threshold=0.5,
+                                  tracking_dist_threshold=2.0),
+        curr_kf=0,
+    )
+    check = DeepFactors._check_tracking_lost
+    ok = {"error": 0.1, "d_full": np.array([0.3])}
+    assert not check(fake, ok)
+    assert check(fake, {"error": float("nan"), "d_full": np.array([0.3])})
+    assert check(fake, {"error": 0.1, "d_full": np.array([float("nan")])})
+    assert check(fake, {"error": float("inf"), "d_full": np.array([0.3])})

@@ -1,0 +1,83 @@
+"""Per-stage wall-clock profile of the facade's process_frame on the real
+chip — where does the e2e frame budget go? (bench e2e measured ~1 fps at
+the 256x192 bench config while tracking alone runs at ~900 fps: the gap is
+host-side dispatch count, not device compute. The axon tunnel charges
+5-8 ms PER DISPATCH.)
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_e2e.py
+     [--frames 40]
+"""
+import argparse
+import contextlib
+import io
+import sys
+import time
+
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--no-loop", action="store_true")
+    args = ap.parse_args()
+
+    from deepfactors_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from deepfactors_tpu.geometry.camera import PinholeCamera
+    from deepfactors_tpu.io import synth
+    from deepfactors_tpu.utils import timing
+    sys.path.insert(0, "/root/repo")
+    from bench import load_decoder, H, W
+    from tools.bench_e2e import build_system
+
+    cam = PinholeCamera.create(fx=220.0, fy=220.0, u0=W / 2, v0=H / 2,
+                               width=W, height=H)
+    decoder, _ = load_decoder()
+    scene = synth.random_room(7, n_boxes=3)
+    n = args.frames
+    poses = synth.orbit_trajectory(n)
+    frames = synth.render_sequence(scene, cam, poses, H, W)
+
+    df = build_system(cam, H, W, decoder, max_keyframes=10,
+                      dist_threshold=1.2)
+    if args.no_loop:
+        df.loop_detector = None
+    df.bootstrap_two_frames(frames[0], frames[2])
+    df.trajectory = [(0.0, df.pose_wc)]
+    warm = min(10, n - 4)
+    for i in range(3, 3 + warm):
+        df.process_frame(float(i), frames[i])
+    jax.block_until_ready(df.mapper.state.pose.t)
+
+    timing.reset_timing()
+    timing.enable_timing(True)
+    # tic/toc prints each pair; swallow the stream, keep the summary
+    buf = io.StringIO()
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(buf):
+        for i in range(3 + warm, n):
+            df.process_frame(float(i), frames[i])
+        jax.block_until_ready(df.mapper.state.pose.t)
+    dt = time.perf_counter() - t0
+    timing.enable_timing(False)
+
+    n_timed = n - 3 - warm
+    print(f"{n_timed} frames in {dt:.2f}s = {n_timed / dt:.2f} fps "
+          f"({dt / n_timed * 1e3:.0f} ms/frame)")
+    summ = timing.timing_summary()
+    total_known = sum(v["total_s"] for v in summ.values())
+    for k, v in sorted(summ.items(), key=lambda kv: -kv[1]["total_s"]):
+        print(f"  {k:<20} {v['avg_ms']:8.1f} ms avg x{v['count']:<4} "
+              f"= {v['total_s']:6.2f}s")
+    print(f"  {'(unaccounted)':<20} {'':8} "
+          f"= {dt - total_known:6.2f}s")
+
+
+if __name__ == "__main__":
+    main()
