@@ -39,7 +39,7 @@ def load_decoder():
 
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "data", "nets")
-    for name in ("room256_32", "synthetic256_32"):
+    for name in ("room256_32v2", "room256_32", "synthetic256_32"):
         p = os.path.join(base, name)
         if os.path.exists(p + ".pkl"):
             with open(p + ".json") as f:
@@ -49,20 +49,24 @@ def load_decoder():
                 pyramid_levels=nj["pyramid_levels"],
                 input_width=nj["input_width"],
                 input_height=nj["input_height"], avg_dpt=nj["avg_dpt"],
+                base_ch=nj.get("base_ch", 32),
+                pred_head=nj.get("pred_head", "gap"),
             )
             return Decoder(cfg, params=load_params(p + ".pkl")), name
     return None, None
 
 
-def bench_ba(cam):
+def bench_ba(cam, n_kf=5, max_factors=16, n_iters=100):
     """Sustained BA iterations/s on the compacted factor pool (the real
-    mapper dispatch path)."""
+    mapper dispatch path). n_kf=5 is the headline window (dense solve,
+    D=196); n_kf=32 exercises the Schur path (D=1222, VERDICT r2 next #6)."""
     from deepfactors_tpu.geometry import se3 as se3m
     from deepfactors_tpu.mapping.mapper import Mapper, MapperConfig
 
-    N_KF = 5
+    N_KF = n_kf
     cfg = MapperConfig(
-        max_keyframes=N_KF, max_frames=1, max_factors=16, code_size=CS,
+        max_keyframes=N_KF, max_frames=1, max_factors=max_factors,
+        code_size=CS,
         height=H, width=W, pyramid_levels=L, pho_iters=(4, 8, 15),
         connection_mode="LASTN", max_back_connections=2, use_schur=True,
         relin_threshold=0.0,  # benchmark: never early-exit
@@ -102,35 +106,44 @@ def bench_ba(cam):
     out = m._run_fn(*args(2))
     jax.block_until_ready(out)
 
-    N_ITERS = 100
     t0 = time.perf_counter()
-    state, frames, stats = m._run_fn(*args(N_ITERS))
+    state, frames, stats = m._run_fn(*args(n_iters))
     jax.block_until_ready(stats)
     dt = time.perf_counter() - t0
-    return N_ITERS / dt, n_factors, len(pool.active), m
+    return n_iters / dt, n_factors, len(pool.active), m
 
 
 def bench_keyframes(cam, decoder):
-    """Keyframe decode+build/s: pyramids + decoder + depth materialization +
-    pool insert, measured through Mapper.add_keyframe_to_map."""
+    """Keyframe decode+build/s INCLUDING steady-state eviction: pyramids +
+    decoder + depth materialization + pool insert through
+    Mapper.enqueue_keyframe, with back-connection factors so every insert
+    past capacity pays the real marginalize-to-prior elimination
+    (VERDICT r2 weak #3: the old bench cleared kf_slots and never paid
+    marginalize_keyframe)."""
     from deepfactors_tpu.geometry import se3 as se3m
     from deepfactors_tpu.io import synth
     from deepfactors_tpu.mapping.mapper import Mapper, MapperConfig
 
-    cfg = MapperConfig(max_keyframes=8, max_frames=1, max_factors=16,
-                       code_size=CS, height=H, width=W, pyramid_levels=L)
+    cfg = MapperConfig(max_keyframes=8, max_frames=1, max_factors=32,
+                       code_size=CS, height=H, width=W, pyramid_levels=L,
+                       pho_iters=(2, 2, 2), connection_mode="LASTN",
+                       max_back_connections=2)
     m = Mapper(cfg, cam, decoder=decoder)
     scene = synth.random_room(3)
-    views = synth.orbit_trajectory(12)
+    views = synth.orbit_trajectory(24)
     imgs = synth.render_sequence(scene, cam, views, H, W)
-    m.add_keyframe_to_map(imgs[0], se3m.identity())  # compile
+    # fill to capacity + a few evictions (compiles build/evict/mapping fns)
+    for i in range(cfg.max_keyframes + 3):
+        m.enqueue_keyframe(imgs[i], se3m.identity())
+        while m.has_work():
+            m.mapping_run()
     jax.block_until_ready(m.state.pose.t)
     N = 10
     t0 = time.perf_counter()
     for i in range(N):
-        if len(m.kf_slots) >= cfg.max_keyframes:
-            m.kf_slots.clear()  # reuse slots; timing only
-        m.add_keyframe_to_map(imgs[1 + i % 10], se3m.identity())
+        m.enqueue_keyframe(imgs[(9 + i) % 24], se3m.identity())
+        while m.has_work():
+            m.mapping_run()
     jax.block_until_ready(m.state.pose.t)
     return N / (time.perf_counter() - t0)
 
@@ -168,8 +181,12 @@ def bench_tracking(cam, m):
     return n_track / (time.perf_counter() - t0)
 
 
-def bench_e2e(cam, decoder, n_frames=120):
-    """Short-form end-to-end run (tools/bench_e2e.py is the long form)."""
+def bench_e2e(cam, decoder, n_frames=120, loop_closure=True,
+              oracle=False):
+    """Short-form end-to-end run (tools/bench_e2e.py is the long form).
+    oracle=True swaps in the GT-depth OracleDecoder — the solver/tracker
+    error floor with decoder error removed (the promised oracle row,
+    VERDICT r2 missing #5); loop_closure=False is the ATE ablation row."""
     from deepfactors_tpu.geometry import se3 as se3m
     from deepfactors_tpu.io import synth
     from deepfactors_tpu.utils import tum_io
@@ -177,10 +194,16 @@ def bench_e2e(cam, decoder, n_frames=120):
 
     scene = synth.random_room(7, n_boxes=3)
     poses = synth.orbit_trajectory(n_frames)
-    frames = synth.render_sequence(scene, cam, poses, H, W)
+    frames, depths = synth.render_sequence(scene, cam, poses, H, W,
+                                           with_depth=True)
+    if oracle:
+        decoder = synth.OracleDecoder(frames, depths, levels=L,
+                                      code_size=CS)
     # thresholds mirror tools/bench_e2e.py's tuned CLI defaults
     df = build_system(cam, H, W, decoder, max_keyframes=10,
                       dist_threshold=1.2)
+    if not loop_closure:
+        df.loop_detector = None
     df.bootstrap_two_frames(frames[0], frames[2])
     df.trajectory = [(0.0, df.pose_wc)]
     warm = 10
@@ -215,19 +238,40 @@ def main():
 
     stage("ba")
     ba_iters_per_s, n_factors, pool_cap, m = bench_ba(cam)
+    stage("ba K=32 (Schur)")
+    try:
+        ba32, n_factors32, _, _ = bench_ba(cam, n_kf=32, max_factors=64,
+                                           n_iters=30)
+    except Exception as e:
+        print(f"ba32 bench failed: {e!r}", file=sys.stderr)
+        ba32 = n_factors32 = None
     stage("tracking")
     track_fps = bench_tracking(cam, m)
     stage("keyframes")
     kf_per_s = bench_keyframes(cam, decoder) if decoder else None
     stage("e2e")
+    e2e_error = None
     try:
         e2e_fps, ate_m, n_kf, n_evicted = bench_e2e(cam, decoder)
-    except Exception as e:  # keep the headline metric robust
+    except Exception as e:  # keep the headline metric robust, but LOUD
         print(f"e2e bench failed: {e!r}", file=sys.stderr)
         e2e_fps = ate_m = n_kf = n_evicted = None
+        e2e_error = repr(e)
+    stage("e2e ablations (oracle / no-loop)")
+    try:
+        _, ate_oracle, _, _ = bench_e2e(cam, decoder, oracle=True)
+    except Exception as e:
+        print(f"oracle e2e failed: {e!r}", file=sys.stderr)
+        ate_oracle = None
+    try:
+        _, ate_noloop, _, _ = bench_e2e(cam, decoder, loop_closure=False)
+    except Exception as e:
+        print(f"no-loop e2e failed: {e!r}", file=sys.stderr)
+        ate_noloop = None
 
     print(f"factors={n_factors} track_fps={track_fps:.1f} "
-          f"kf_per_s={kf_per_s} e2e_fps={e2e_fps} ate={ate_m}",
+          f"kf_per_s={kf_per_s} e2e_fps={e2e_fps} ate={ate_m} "
+          f"ate_oracle={ate_oracle} ate_noloop={ate_noloop}",
           file=sys.stderr)
 
     print(json.dumps({
@@ -243,12 +287,22 @@ def main():
         "extra": {
             "keyframes_per_s": (round(kf_per_s, 2)
                                 if kf_per_s is not None else None),
+            "keyframes_per_s_note": "includes eviction (marginalize-to-"
+                                    "prior) + window BA per keyframe",
             "decoder": dec_name,
             "track_fps": round(track_fps, 1),
+            "ba_iters_per_s_k32_schur": (round(ba32, 2)
+                                         if ba32 is not None else None),
+            "ba_k32_n_factors": n_factors32,
             "e2e_fps": (round(e2e_fps, 2) if e2e_fps is not None else None),
             "e2e_fps_vs_realtime_30fps": (round(e2e_fps / BASELINE_FPS, 3)
                                           if e2e_fps is not None else None),
+            "e2e_error": e2e_error,
             "ate_m": ate_m,
+            "ate_oracle_m": (round(ate_oracle, 4)
+                             if ate_oracle is not None else None),
+            "ate_no_loop_closure_m": (round(ate_noloop, 4)
+                                      if ate_noloop is not None else None),
             "e2e_keyframes": n_kf,
             "e2e_evicted": n_evicted,
         },

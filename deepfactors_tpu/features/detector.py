@@ -73,11 +73,11 @@ _PATTERN = _brief_pattern()
 
 def harris_response(img: Array, k: float = 0.04) -> Array:
     """Harris corner response via Sobel products + 3x3 box filter."""
-    gx = _conv2d_clamped(img, jnp.array([[-1., 0., 1.], [-2., 0., 2.],
-                                         [-1., 0., 1.]]) / 8.0)
-    gy = _conv2d_clamped(img, jnp.array([[-1., -2., -1.], [0., 0., 0.],
-                                         [1., 2., 1.]]) / 8.0)
-    box = jnp.ones((3, 3), jnp.float32) / 9.0
+    gx = _conv2d_clamped(img, np.array([[-1., 0., 1.], [-2., 0., 2.],
+                                        [-1., 0., 1.]]) / 8.0)
+    gy = _conv2d_clamped(img, np.array([[-1., -2., -1.], [0., 0., 0.],
+                                        [1., 2., 1.]]) / 8.0)
+    box = np.ones((3, 3), np.float32) / 9.0
     sxx = _conv2d_clamped(gx * gx, box)
     syy = _conv2d_clamped(gy * gy, box)
     sxy = _conv2d_clamped(gx * gy, box)

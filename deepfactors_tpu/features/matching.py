@@ -81,6 +81,9 @@ def _essential_from_8(b0: Array, b1: Array) -> Array:
     """8-point essential matrix from bearing pairs [8, 3] each. Returns
     [3, 3] (nullspace of the epipolar constraint via SVD)."""
     A = (b1[:, :, None] * b0[:, None, :]).reshape(8, 9)  # rows: kron(b1, b0)
+    # TPU SVD is an iterative device loop — non-finite input (garbage
+    # keypoints in padded slots) can spin it forever and wedge the chip
+    A = jnp.where(jnp.isfinite(A), A, 0.0)
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
     E = vt[-1].reshape(3, 3)
     # project onto the essential manifold (two equal singular values)

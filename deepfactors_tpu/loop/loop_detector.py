@@ -178,7 +178,12 @@ class LoopDetector:
         if not cands:
             return LoopResult(False, -1, None)
 
-        cs = jnp.asarray(cands, jnp.int32)
+        # pad the candidate batch to max_candidates so the verifier compiles
+        # ONCE (a per-candidate-count variant costs minutes through the axon
+        # tunnel); padded rows repeat candidate 0 and are ignored on the host
+        C = self.cfg.max_candidates
+        cands_padded = cands + [cands[0]] * (C - len(cands))
+        cs = jnp.asarray(cands_padded, jnp.int32)
         kf_imgs = tuple(state.levels[l].img[cs] for l in range(self.levels))
         kf_dpts = tuple(state.levels[l].dpt[cs] for l in range(self.levels))
         # init: relative pose candidate->current from current estimates

@@ -110,6 +110,17 @@ def add_prior(store: MarginalStore, slot, H: Array, b: Array,
     )
 
 
+def add_prior_masked(store: MarginalStore, slot, H: Array, b: Array,
+                     pose: SE3, code: Array, on: Array) -> MarginalStore:
+    """``add_prior`` gated by a traced boolean ``on`` — identity when off.
+    Lets batched marginalization (padded neighbor slots) run with static
+    shapes without corrupting slot 0's anchors."""
+    upd = add_prior(store, slot, H, b, pose, code)
+    return jax.tree_util.tree_map(
+        lambda new, old: jnp.where(on, new, old), upd, store
+    )
+
+
 def prior_terms(store: MarginalStore, poses: SE3, codes: Array):
     """Batched prior contributions at the current estimate.
 

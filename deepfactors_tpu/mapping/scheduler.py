@@ -203,6 +203,35 @@ class PyScheduler:
     def has_work(self) -> bool:
         return not self.wm.empty()
 
+    def fused_sig(self):
+        """Shared-schedule signature for the single-dispatch C2F descent:
+        (active_level, iters, orig_iters) when ALL outstanding works are
+        plain photometric works sharing one schedule state, else None."""
+        from .mapper import PhotoWork
+
+        works = self.wm.work
+        if not works:
+            return None
+        sig = None
+        for w in works:
+            if type(w) is not PhotoWork or w.child is not None or w.remove:
+                return None
+            s = (w.active_level, tuple(w.iters), tuple(w.orig_iters))
+            if sig is None:
+                sig = s
+            elif s != sig:
+                return None
+        return sig
+
+    def descent_slots(self) -> np.ndarray:
+        """Photo-pool slots owned by live works (the descending factor set
+        for run_segments' pool_descent mask)."""
+        out = np.zeros(self.cfg.max_factors, bool)
+        for w in self.wm.work:
+            if w.pool_slot is not None:
+                out[w.pool_slot] = True
+        return out
+
     def tick_empty(self):
         """One schedule tick when no factors are live (keeps parity with the
         empty-levels path)."""
@@ -289,6 +318,12 @@ class NativeBackend:
 
     def has_work(self) -> bool:
         return self.ns.has_work()
+
+    def fused_sig(self):
+        return self.ns.fused_sig()
+
+    def descent_slots(self) -> np.ndarray:
+        return self.ns.descent_slots()
 
     def tick_empty(self):
         self.ns.update(1, False)

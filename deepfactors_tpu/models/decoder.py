@@ -43,6 +43,10 @@ class NetworkConfig(NamedTuple):
     u0: float = 0.0
     v0: float = 0.0
     grayscale: bool = True
+    # architecture knobs (default = the round-2 room256_32 checkpoint
+    # layout; v2 checkpoints record theirs in the json)
+    base_ch: int = 32
+    pred_head: str = "gap"   # "gap" | "conv" (spatial code predictor)
 
 
 class DecodeResult(NamedTuple):
@@ -55,9 +59,56 @@ class DecodeResult(NamedTuple):
     code: Array       # the code used / predicted [CS]
 
 
+class Conv(nn.Conv):
+    """nn.Conv with the convolution expressed as shifted-patch extraction +
+    one einsum (im2col -> MXU matmul) instead of lax.conv_general_dilated.
+
+    Same parameter tree as nn.Conv (kernel [kh, kw, Cin, Cout], bias
+    [Cout]) and same class name, so existing checkpoints load unchanged.
+    Two reasons: (a) XLA lowers these small convs to the same patch-matmul
+    form on TPU, so performance is equal; (b) the conv primitive's FIRST
+    lowering through the axon tunnel costs minutes of one-time latency per
+    process (measured; environment pathology) — the einsum form lowers
+    instantly. Supports the subset this model uses: 2D, SAME padding,
+    uniform strides, no dilation/groups/mask."""
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        sh, sw = (self.strides if isinstance(self.strides, (tuple, list))
+                  else (self.strides, self.strides))
+        N, H, W, C = x.shape
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, C, self.features),
+            self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        Ho = -(-H // sh)
+        Wo = -(-W // sw)
+        pad_h = max((Ho - 1) * sh + kh - H, 0)
+        pad_w = max((Wo - 1) * sw + kw - W, 0)
+        xp = jnp.pad(x, ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
+                         (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+        xp = xp.astype(self.dtype)
+        patches = []
+        for i in range(kh):
+            for j in range(kw):
+                patches.append(jax.lax.slice(
+                    xp, (0, i, j, 0),
+                    (N, i + (Ho - 1) * sh + 1, j + (Wo - 1) * sw + 1, C),
+                    (1, sh, sw, 1)))
+        p = jnp.concatenate(patches, axis=-1)          # [N, Ho, Wo, kh*kw*C]
+        k2 = kernel.reshape(kh * kw * C, self.features).astype(self.dtype)
+        y = jnp.einsum("nhwp,pf->nhwf", p, k2,
+                       preferred_element_type=self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def _conv(ch, k=3, s=1):
-    return nn.Conv(ch, (k, k), strides=(s, s), padding="SAME", dtype=jnp.bfloat16,
-                   param_dtype=jnp.float32)
+    return Conv(ch, (k, k), strides=(s, s), padding="SAME", dtype=jnp.bfloat16,
+                param_dtype=jnp.float32)
 
 
 class ConvBlock(nn.Module):
@@ -81,6 +132,7 @@ class DepthDecoder(nn.Module):
     code_size: int = 32
     levels: int = 4
     base_ch: int = 32
+    pred_head: str = "gap"   # "gap" (round-2 ckpt) | "conv" (spatial)
 
     @nn.compact
     def __call__(self, img: Array):
@@ -100,9 +152,24 @@ class DepthDecoder(nn.Module):
         x = ConvBlock(ch)(x)  # bottleneck
 
         # code prediction head from bottleneck (PredictAndDecode path)
-        gap = jnp.mean(x, axis=(1, 2))  # [1, ch]
-        code_pred = nn.Dense(CS, dtype=jnp.bfloat16, param_dtype=jnp.float32,
-                             name="code_head")(gap)[0].astype(jnp.float32)
+        if self.pred_head == "conv":
+            # spatial predictor: strided convs down to a coarse grid, then
+            # a dense readout — a global average pool throws away the
+            # spatial layout the code must encode (near/far structure),
+            # which capped predicted-code depth quality in round 2
+            h = _conv(ch, k=3, s=2)(x)
+            h = nn.gelu(h)
+            h = _conv(64, k=3, s=2)(h)
+            h = nn.gelu(h)
+            h = h.reshape(1, -1)
+            code_pred = nn.Dense(
+                CS, dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                name="code_head_conv")(h)[0].astype(jnp.float32)
+        else:
+            gap = jnp.mean(x, axis=(1, 2))  # [1, ch]
+            code_pred = nn.Dense(
+                CS, dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                name="code_head")(gap)[0].astype(jnp.float32)
 
         # decoder with skip connections; emit heads at each pyramid level
         prx0s, jacs, stds = [], [], []
@@ -141,7 +208,11 @@ class Decoder:
 
     def __init__(self, cfg: NetworkConfig, params=None, rng=None):
         self.cfg = cfg
-        self.module = DepthDecoder(code_size=cfg.code_size, levels=cfg.pyramid_levels)
+        self.module = DepthDecoder(code_size=cfg.code_size,
+                                   levels=cfg.pyramid_levels,
+                                   base_ch=getattr(cfg, "base_ch", 32),
+                                   pred_head=getattr(cfg, "pred_head",
+                                                     "gap"))
         if params is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             dummy = jnp.zeros((cfg.input_height, cfg.input_width), jnp.float32)

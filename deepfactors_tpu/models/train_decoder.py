@@ -62,13 +62,17 @@ class TrainState(NamedTuple):
 class VAEModel(nn.Module):
     code_size: int = 32
     levels: int = 4
+    base_ch: int = 32
+    pred_head: str = "gap"
 
     def setup(self):
         self.decoder = DepthDecoder(code_size=self.code_size,
-                                    levels=self.levels)
+                                    levels=self.levels,
+                                    base_ch=self.base_ch,
+                                    pred_head=self.pred_head)
         self.encoder = DepthEncoder(code_size=self.code_size)
 
-    def __call__(self, img, gt_prox, rng, beta):
+    def __call__(self, img, gt_prox, rng, beta, distill_w=0.1):
         out = self.decoder(img)
         mu, logvar = self.encoder(img, gt_prox)
         eps = jax.random.normal(rng, mu.shape)
@@ -88,12 +92,12 @@ class VAEModel(nn.Module):
         distill = jnp.sum(
             (out["code_pred"] - jax.lax.stop_gradient(mu)) ** 2
         )
-        loss = nll + beta * kl + 0.1 * distill
+        loss = nll + beta * kl + distill_w * distill
         return loss, {"nll": nll, "kl": kl, "distill": distill}
 
 
 def make_train_step(model: VAEModel, tx: optax.GradientTransformation,
-                    beta: float = 1e-4):
+                    beta: float = 1e-4, distill_w: float = 0.1):
     """One jitted data-parallel training step over a batch [B, H, W] images +
     gt prox maps; the batch axis shards over devices ('dp')."""
 
@@ -101,7 +105,7 @@ def make_train_step(model: VAEModel, tx: optax.GradientTransformation,
         keys = jax.random.split(rng, imgs.shape[0])
 
         def one(img, gt, k):
-            return model.apply(params, img, gt, k, beta)
+            return model.apply(params, img, gt, k, beta, distill_w)
 
         losses, auxs = jax.vmap(one)(imgs, gts, keys)
         return jnp.mean(losses), jax.tree.map(jnp.mean, auxs)

@@ -63,6 +63,10 @@ def _lib():
     lib.df_sched_work_slot.argtypes = [C.c_void_p, C.c_int64]
     lib.df_sched_num_works.restype = C.c_int32
     lib.df_sched_num_works.argtypes = [C.c_void_p]
+    lib.df_sched_fused_sig.restype = C.c_int32
+    lib.df_sched_fused_sig.argtypes = [C.c_void_p, C.POINTER(C.c_int32)]
+    lib.df_sched_descent_slots.argtypes = [C.c_void_p,
+                                           C.POINTER(C.c_uint8)]
 
     lib.df_loader_new.restype = C.c_void_p
     lib.df_loader_new.argtypes = [C.c_char_p, C.POINTER(C.c_double),
@@ -142,6 +146,23 @@ class NativeScheduler:
 
     def work_slot(self, work_id: int) -> int:
         return int(self._lib.df_sched_work_slot(self._h, work_id))
+
+    def fused_sig(self):
+        """Shared-schedule signature for the single-dispatch C2F descent
+        (see df_sched_fused_sig). Returns (active_level, iters, orig_iters)
+        or None."""
+        out = (C.c_int32 * 18)()
+        if not self._lib.df_sched_fused_sig(self._h, out):
+            return None
+        n = out[1]
+        return (int(out[0]), tuple(out[2:2 + n]),
+                tuple(out[2 + 8:2 + 8 + n]))
+
+    def descent_slots(self) -> np.ndarray:
+        buf = np.zeros(self._caps[0], np.uint8)
+        self._lib.df_sched_descent_slots(
+            self._h, buf.ctypes.data_as(C.POINTER(C.c_uint8)))
+        return buf.astype(bool)
 
     def pool(self, kind: int):
         cap = self._caps[kind]

@@ -10,9 +10,10 @@ sources/cuda/cu_image_proc.cpp:
   - SquaredError (cu_image_proc.cpp:190-232).
   - UpdateDepth (cu_image_proc.cpp:248-278): dpt = ProxToDepth(prx0 + J·c).
 
-Convolutions are expressed as XLA convs (fused and tiled by the compiler —
-the CUDA hand-scheduling disappears); bilinear sampling is a vectorized
-gather, the memory pattern that also backs the dense aligners.
+Filters are expressed as unrolled shift-multiply-adds over static taps (XLA
+fuses them into one VPU kernel; see _conv2d_clamped for why the conv
+primitive is avoided); bilinear sampling is a vectorized gather, the memory
+pattern that also backs the dense aligners.
 
 Image layout: [H, W] float arrays; pixel coords (x, y), x along W.
 """
@@ -22,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import warping
 
@@ -166,27 +168,35 @@ def bilinear_sample_grad(img: Array, pix: Array):
 # Sobel gradients (cu_image_proc.cpp:57-112)
 # ----------------------------------------------------------------------------
 
-_SOBEL_X = jnp.array(
+_SOBEL_X = np.array(
     [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], dtype=jnp.float32
 )
-_SOBEL_Y = jnp.array(
+_SOBEL_Y = np.array(
     [[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]], dtype=jnp.float32
 )
 
 
 def _conv2d_clamped(img: Array, kernel: Array) -> Array:
-    """2D correlation with clamped (edge-replicate) borders, [H, W] in/out."""
+    """2D correlation with clamped (edge-replicate) borders, [H, W] in/out.
+
+    Implemented as an unrolled shift-multiply-add over the (small, static)
+    kernel taps instead of lax.conv_general_dilated: single-channel tiny-
+    kernel convs never ride the MXU anyway (XLA fuses the tap sum into one
+    VPU kernel), and the conv primitive's first lowering through the axon
+    tunnel measures minutes of one-time latency (environment pathology) —
+    shifted adds lower instantly."""
     kh, kw = kernel.shape
     ph, pw = kh // 2, kw // 2
+    H, W = img.shape
     padded = jnp.pad(img, ((ph, ph), (pw, pw)), mode="edge")
-    out = jax.lax.conv_general_dilated(
-        padded[None, None, :, :],
-        kernel[None, None, :, :],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0, 0]
+    k = np.asarray(kernel)  # static taps; zero taps drop out of the graph
+    out = jnp.zeros_like(img)
+    for i in range(kh):
+        for j in range(kw):
+            if k[i, j] != 0.0:
+                out = out + k[i, j] * jax.lax.slice(
+                    padded, (i, j), (i + H, j + W))
+    return out
 
 
 def sobel_gradients(img: Array) -> Array:
@@ -200,7 +210,7 @@ def sobel_gradients(img: Array) -> Array:
 # Gaussian blur + 2x downsample (cu_image_proc.cpp:134-183)
 # ----------------------------------------------------------------------------
 
-_GAUSS5 = jnp.array(
+_GAUSS5 = np.array(
     [
         [1.0, 4.0, 6.0, 4.0, 1.0],
         [4.0, 16.0, 24.0, 16.0, 4.0],
@@ -208,26 +218,34 @@ _GAUSS5 = jnp.array(
         [4.0, 16.0, 24.0, 16.0, 4.0],
         [1.0, 4.0, 6.0, 4.0, 1.0],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 
 def gaussian_blur_down(img: Array) -> Array:
     """[H, W] -> [H//2, W//2]: 5x5 binomial blur at even pixels with clamped
     taps; reference renormalizes by the sum of kernel weights ('wall') which
-    is constant under clamping, so /256."""
+    is constant under clamping, so /256.
+
+    Unrolled strided shift-adds instead of a strided conv primitive (see
+    _conv2d_clamped for why); the binomial kernel is separable so this is
+    two passes of 5 taps each."""
     Ho, Wo = img.shape[0] // 2, img.shape[1] // 2
     # output pixel (x,y) taps input at 2x+px-2, 2y+py-2 for px,py in [0,5)
     padded = jnp.pad(img, ((2, 2), (2, 2)), mode="edge")
-    out = jax.lax.conv_general_dilated(
-        padded[None, None, :, :],
-        _GAUSS5[None, None, :, :],
-        window_strides=(2, 2),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    out = out / jnp.sum(_GAUSS5)
-    return out[:Ho, :Wo]
+    w = (1.0, 4.0, 6.0, 4.0, 1.0)
+    H2 = padded.shape[0]
+    # vertical pass strided in y: rows 2y+i, all columns
+    rows = jnp.zeros((Ho, padded.shape[1]), img.dtype)
+    for i, wi in enumerate(w):
+        rows = rows + wi * jax.lax.slice(
+            padded, (i, 0), (i + 2 * Ho, padded.shape[1]), (2, 1))
+    # horizontal pass strided in x
+    out = jnp.zeros((Ho, Wo), img.dtype)
+    for j, wj in enumerate(w):
+        out = out + wj * jax.lax.slice(
+            rows, (0, j), (Ho, j + 2 * Wo), (1, 2))
+    return out / 256.0
 
 
 def build_pyramid(img: Array, levels: int):

@@ -133,7 +133,41 @@ def make_ba_step(
 
 
 def shard_factors(mesh: Mesh, axis: str, fd: ShardedFactorData) -> ShardedFactorData:
-    """Place factor data sharded over the mesh axis (pad count to a multiple
-    of the axis size first)."""
+    """Place factor data sharded over the mesh axis, padding the factor
+    count to a multiple of the axis size with inactive rows."""
+    n = fd.src.shape[0]
+    size = mesh.shape[axis]
+    pad = (-n) % size
+    if pad:
+        fd = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]), fd
+        )
+        fd = fd._replace(active=fd.active.at[n:].set(False))
     sharding = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), fd)
+
+
+def factors_from_map_state(state, src, dst, active,
+                           level: int = 0) -> ShardedFactorData:
+    """The live-Mapper -> distributed-BA bridge: gather per-factor pyramid
+    rows for the given (src, dst) photometric factor table straight from a
+    ``mapping.map_state.MapState`` (VERDICT r2 next #7 — a mapper window can
+    be handed to dist_ba without reshaping the map).
+
+    Use with ``shard_factors`` + ``make_ba_step``; equivalence with the
+    mapper's own window BA is covered by tests/test_parallel.py."""
+    from ..mapping import factors as fct
+
+    lvl = state.levels[level]
+    src = jnp.asarray(src, jnp.int32)
+    dst = jnp.asarray(dst, jnp.int32)
+    return ShardedFactorData(
+        src=src, dst=dst, active=jnp.asarray(active, bool),
+        img0=fct.take_rows(lvl.img, src),
+        img1=fct.take_rows(lvl.img, dst),
+        prx0=fct.take_rows(lvl.prx0, src),
+        jac0=jnp.transpose(fct.take_rows(lvl.jac, src), (0, 2, 3, 1)),
+        std0=fct.take_rows(lvl.stdev, src),
+        grad1=fct.take_rows(lvl.grad, dst),
+    )

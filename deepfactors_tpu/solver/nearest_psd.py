@@ -15,7 +15,14 @@ Array = jax.Array
 
 
 def clip_eigenvalues(A: Array, min_eig: float = 0.0) -> Array:
-    """Clamp eigenvalues of a symmetric matrix [..., D, D] from below."""
+    """Clamp eigenvalues of a symmetric matrix [..., D, D] from below.
+
+    Non-finite entries are zeroed FIRST: TPU eigh is an iterative device
+    program whose convergence loop can spin forever on NaN/Inf input
+    (observed as a wedged dispatch hanging every later device_get through
+    the axon tunnel). A non-finite factor Hessian carries no usable
+    information — dropping it (zero block) is the safe projection."""
+    A = jnp.where(jnp.isfinite(A), A, 0.0)
     w, V = jnp.linalg.eigh((A + jnp.swapaxes(A, -1, -2)) * 0.5)
     w = jnp.maximum(w, min_eig)
     return jnp.einsum("...ij,...j,...kj->...ik", V, w, V)

@@ -114,75 +114,29 @@ class DeepFactors:
         self.stats_callback = None
         # fused per-frame decision probe (see _probe): one device round trip
         # serves every host decision in ProcessFrame
-        self._probe_fn = None
         self._last_kf_dists: Optional[np.ndarray] = None
+        # fused per-frame step (frame_step.py): ONE dispatch for track +
+        # probe + features + BoW, ONE device_get for every host decision
+        from . import frame_step as fs
+        from .features import detector as det
 
-    # ------------------------------------------------------------------
-    # fused frame probe
-    # ------------------------------------------------------------------
-
-    def _build_probe_fn(self):
-        """One jitted call computing EVERY per-frame decision scalar.
-
-        The reference reads each of these on demand (deepfactors.cpp:
-        CheckTrackingLost :852, NewKeyframeRequired :747, NewFrameRequired
-        :784, SelectKeyframe :813, DetectLocalLoop loop_detector.cpp:190,
-        BoW query :96). Through the axon TPU tunnel every host sync costs a
-        ~23 ms round trip, so they are all batched into ONE output vector:
-        [d_full(K) | d_trans(K) | fr_trans(F) | sims(K) | rot | inl | err].
-        """
-        from .loop import vocabulary as vb
-
-        with_bow = self.loop_detector is not None
-
-        @jax.jit
-        def probe(pq, pt, track_stats, kf_q, kf_t, fr_q, fr_t, curr_kf,
-                  bow_v, db, db_valid):
-            pose = SE3(pq, pt)
-            kf = SE3(kf_q, kf_t)
-            d_full = se3m.pose_distance(kf, pose)
-            d_trans = se3m.pose_distance(kf, pose, 1.0, 0.0)
-            fr_trans = se3m.pose_distance(SE3(fr_q, fr_t), pose, 1.0, 0.0)
-            rel_q = se3m.quat_mul(kf_q[curr_kf], se3m.quat_conj(pq))
-            rot = jnp.linalg.norm(se3m.so3_log(rel_q))
-            if with_bow:
-                sims = vb.similarity(bow_v, db, db_valid)
-            else:
-                sims = jnp.full((kf_q.shape[0],), -jnp.inf)
-            return jnp.concatenate([
-                d_full, d_trans, fr_trans, sims,
-                jnp.stack([rot, track_stats[0], track_stats[1]]),
-            ])
-
-        return probe
-
-    def _run_probe(self, pose_wc: SE3, track_stats, bow_v) -> dict:
-        if self._probe_fn is None:
-            self._probe_fn = self._build_probe_fn()
-        st = self.mapper.state
-        fs = self.mapper.frames
-        if self.loop_detector is not None:
-            db, dbv = self.loop_detector.db, self.loop_detector.db_valid
-        else:
-            K = st.pose.q.shape[0]
-            db = jnp.zeros((K, 1)); dbv = jnp.zeros((K,), bool)
-            bow_v = jnp.zeros((1,))
-        out = np.asarray(jax.device_get(self._probe_fn(
-            pose_wc.q, pose_wc.t, track_stats, st.pose.q, st.pose.t,
-            fs.pose.q, fs.pose.t, jnp.asarray(self.curr_kf, jnp.int32),
-            bow_v, db, dbv,
-        )))
-        K = st.pose.q.shape[0]
-        F = fs.pose.q.shape[0]
-        return {
-            "d_full": out[:K],
-            "d_trans": out[K:2 * K],
-            "fr_trans": out[2 * K:2 * K + F],
-            "sims": out[2 * K + F:3 * K + F],
-            "rot": float(out[3 * K + F]),
-            "inliers": float(out[3 * K + F + 1]),
-            "error": float(out[3 * K + F + 2]),
-        }
+        self._det_cfg = det.DetectorConfig(
+            max_keypoints=max(m.max_keypoints, 64)
+        )
+        self._frame_fn = fs.build_frame_fn(
+            self.tracker.cfg, cam, m.pyramid_levels,
+            with_loop=self.loop_detector is not None,
+            det_cfg=self._det_cfg,
+        )
+        self._probe_off, _ = fs.probe_layout(m.max_keyframes, m.max_frames)
+        # dummy loop-db arrays for the loop-less configuration (allocated
+        # once — per-frame jnp.zeros would cost a dispatch each)
+        self._no_loop_db = (
+            jnp.zeros((1, 8), jnp.uint32),              # voc words
+            jnp.zeros((1,), jnp.float32),               # idf
+            jnp.zeros((m.max_keyframes, 1), jnp.float32),
+            jnp.zeros((m.max_keyframes,), bool),
+        )
 
     # ------------------------------------------------------------------
     # bootstrap (deepfactors.cpp:370-443)
@@ -194,7 +148,8 @@ class DeepFactors:
         self.mapper.update_map()
         self._set_tracker_keyframe(s1)
         self.curr_kf = s1
-        self.pose_wc = se3m.index(self.mapper.state.pose, s1)
+        self.pose_wc = SE3(*(np.asarray(x) for x in jax.device_get(
+            (self.mapper.state.pose.q[s1], self.mapper.state.pose.t[s1]))))
         if self.loop_detector is not None:
             for s in (s0, s1):
                 self._loop_add_keyframe(s)
@@ -207,7 +162,8 @@ class DeepFactors:
         self.mapper.update_map()
         self._set_tracker_keyframe(s)
         self.curr_kf = s
-        self.pose_wc = se3m.identity()
+        self.pose_wc = SE3(np.array([1.0, 0, 0, 0], np.float32),
+                           np.zeros(3, np.float32))
         if self.loop_detector is not None:
             self._loop_add_keyframe(s)
         self.bootstrapped = True
@@ -223,44 +179,53 @@ class DeepFactors:
                 "Calling ProcessFrame before system is bootstrapped!"
             )
         tic("preprocess")
-        img = self.preprocess_image(img)
-        L = self.cfg.mapper.pyramid_levels
-        img_pyr = ip.build_pyramid(jnp.asarray(img), L)
-        grad_pyr = ip.build_gradient_pyramid(img_pyr)
+        img = self.preprocess_image(img)     # host numpy [H, W]
         toc("preprocess")
 
-        tic("track")
         if self.tracking_lost:
-            new_pose_wc = self._relocalize(img_pyr, grad_pyr)
-        else:
-            new_pose_wc = self._track(img_pyr, grad_pyr)
-        toc("track")
+            tic("relocalize")
+            ok = self._relocalize(img)
+            toc("relocalize")
+            if not ok:
+                return          # stay lost; retry next frame
+            self.tracking_lost = False
+            # fall through: the normal fused path refines from the
+            # relocalized pose and makes this frame's decisions
 
-        # detect features + BoW vector of the current frame (device, async)
-        cur_feat = None
-        bow_v = None
+        # keyframe selection BEFORE tracking, from the previous frame's
+        # probe distances (SelectKeyframe, deepfactors.cpp:813-848)
+        newkf = self._select_keyframe()
+        if newkf != self.curr_kf:
+            self._set_current_kf(newkf)
+
+        # ONE dispatch: pyramids + track + features + BoW + decision probe;
+        # ONE device_get: the packed probe vector
+        tic("frame step")
+        st = self.mapper.state
+        fsd = self.mapper.frames
+        L = self.cfg.mapper.pyramid_levels
         if self.loop_detector is not None:
-            from .features import detector as det
-            from .loop import vocabulary as vb
-
-            tic("features+bow")
-            cur_feat = det.detect_pyramid(
-                img_pyr,
-                det.DetectorConfig(
-                    max_keypoints=max(self.cfg.mapper.max_keypoints, 64)
-                ),
-            )
-            bow_v = vb.bow_vector(self.loop_detector.voc,
-                                  cur_feat.descriptor, cur_feat.valid)
-            toc("features+bow")
-
-        # ONE host round trip: every decision scalar of this frame
-        tic("probe")
-        probe = self._run_probe(new_pose_wc, self.tracker.stats, bow_v)
+            ld = self.loop_detector
+            voc_w, voc_i, db, dbv = (ld.voc.words, ld.voc.idf, ld.db,
+                                     ld.db_valid)
+        else:
+            voc_w, voc_i, db, dbv = self._no_loop_db
+        out = self._frame_fn(
+            img,
+            tuple(st.levels[l].img for l in range(L)),
+            tuple(st.levels[l].dpt for l in range(L)),
+            st.pose.q, st.pose.t, fsd.pose.q, fsd.pose.t,
+            jnp.asarray(self.curr_kf, jnp.int32),
+            self.pose_wc.q, self.pose_wc.t,
+            voc_w, voc_i, db, dbv,
+        )
+        probe, new_pose_wc = self._parse_probe(
+            np.asarray(jax.device_get(out.probe))
+        )
         self.tracker.inliers = probe["inliers"]
         self.tracker.error = probe["error"]
         self._last_kf_dists = probe["d_full"]
-        toc("probe")
+        toc("frame step")
 
         self.tracking_lost = self._check_tracking_lost(probe)
         if self.tracking_lost:
@@ -273,14 +238,16 @@ class DeepFactors:
 
         if self.loop_detector is not None:
             tic("loop closure")
-            self._loop_closure(img_pyr, grad_pyr, probe, cur_feat)
+            self._loop_closure(out.img_pyr, out.grad_pyr, probe, out.feat)
             toc("loop closure")
 
         if self._new_keyframe_required(probe):
             tic("enqueue keyframe")
-            slot = self.mapper.enqueue_keyframe(np.asarray(img), self.pose_wc)
-            self._set_tracker_keyframe(slot)
-            self.curr_kf = slot
+            slot = self.mapper.enqueue_keyframe(
+                np.asarray(img), self.pose_wc,
+                pyramids_in=(out.img_pyr, out.grad_pyr),
+            )
+            self._set_current_kf(slot)
             # the cached probe distances predate this keyframe; it was
             # created AT the camera pose, so it is the closest by
             # construction — without this, next frame's CLOSEST selection
@@ -292,14 +259,25 @@ class DeepFactors:
                 self._last_kf_dists[slot] = 0.0
             if self.loop_detector is not None:
                 self._loop_add_keyframe(slot)
+            # refine the fresh keyframe NOW: its depth is a raw decoder
+            # prediction until BA runs, and tracking the next frame against
+            # unrefined predicted depth can diverge (measured). The whole
+            # C2F descent is one dispatch (mapping_run), so unlike the
+            # reference (which defers mapping to interleaved steps,
+            # deepfactors.cpp:297-365) the refinement is affordable inside
+            # the keyframe event.
+            while self.mapper.has_work():
+                self.mapper.mapping_run()
+            self.mapper.update_map()
             if self.map_callback:
                 self.map_callback(self.mapper.state)
             toc("enqueue keyframe")
-            return  # kf construction took long enough (deepfactors.cpp:297)
+            return
 
         if self._new_frame_required(probe):
             self.mapper.enqueue_frame(np.asarray(img), self.pose_wc,
-                                      self.curr_kf)
+                                      self.curr_kf,
+                                      pyramids=(out.img_pyr, out.grad_pyr))
 
         self.stats = Stats(
             inliers=probe["inliers"],
@@ -309,14 +287,90 @@ class DeepFactors:
         if self.stats_callback:
             self.stats_callback(self.stats)
 
-        tic("mapping")
-        while True:
-            self.mapper.mapping_run()
-            if not self.mapper.has_work() or self.cfg.interleave_mapping:
-                break
-        self.mapper.update_map()
-        self._refresh_tracker_keyframe()
-        toc("mapping")
+        if self.mapper.has_work():
+            tic("mapping")
+            while True:
+                self.mapper.mapping_run()
+                if not self.mapper.has_work() or self.cfg.interleave_mapping:
+                    break
+            self.mapper.update_map()
+            toc("mapping")
+
+    def _parse_probe(self, pv: np.ndarray):
+        """Unpack the fused frame step's probe vector (frame_step.probe_layout)
+        into the decision dict + the tracked world pose (host numpy)."""
+        o = self._probe_off
+        sl = lambda n: pv[o[n][0]:o[n][1]]
+        tail = sl("tail")
+        probe = {
+            "d_full": sl("d_full"), "d_trans": sl("d_trans"),
+            "fr_trans": sl("fr_trans"), "sims": sl("sims"),
+            "rot": float(tail[0]), "inliers": float(tail[1]),
+            "error": float(tail[2]),
+        }
+        pose_wc = SE3(sl("wc_q").copy(), sl("wc_t").copy())
+        return probe, pose_wc
+
+    def _set_current_kf(self, slot: int):
+        """Switch the active tracking keyframe. The fused frame step gathers
+        the keyframe pyramid from the map pool in-jit, so no host-side
+        re-slicing happens (the legacy tracker path keeps its own copy for
+        relocalization only)."""
+        self.curr_kf = slot
+        # the tracker's keyframe (and the newest map keyframes) must survive
+        # capacity eviction
+        self.mapper.protected_slots = {slot} | set(self.mapper.kf_slots[-2:])
+
+    def _relocalize(self, img: np.ndarray) -> bool:
+        """Relocalize (deepfactors.cpp:713-743): brute-force dense tracking
+        of the frame against EVERY keyframe slot as ONE batched C2F
+        verification dispatch (the loop detector's verifier over the full
+        keyframe pool — same compiled function shape family), one
+        device_get. On success sets pose_wc/curr_kf and returns True."""
+        from .loop.loop_detector import LoopConfig, _make_verify_fn
+
+        L = self.cfg.mapper.pyramid_levels
+        if getattr(self, "_reloc_fn", None) is None:
+            self._reloc_fn = _make_verify_fn(
+                LoopConfig(
+                    iters_per_level=self.cfg.tracking_iterations[:L],
+                    huber_delta=self.cfg.tracking_huber_delta,
+                    grad_mode=self.tracker.cfg.grad_mode,
+                ),
+                self.cam, L,
+            )
+            self._pyr_fn = jax.jit(lambda im: (
+                tuple(ip.build_pyramid(im, L)),
+                tuple(ip.build_gradient_pyramid(ip.build_pyramid(im, L))),
+            ))
+        img_pyr, grad_pyr = self._pyr_fn(jnp.asarray(img))
+        st = self.mapper.state
+        K = self.cfg.mapper.max_keyframes
+        ident = se3m.identity((K,))
+        q, t, inl, err = self._reloc_fn(
+            tuple(st.levels[l].img for l in range(L)),
+            tuple(st.levels[l].dpt for l in range(L)),
+            img_pyr, grad_pyr, ident.q, ident.t,
+        )
+        q, t, err, kq, kt = (np.asarray(a) for a in jax.device_get(
+            (q, t, err, st.pose.q, st.pose.t)))
+        best, best_err = -1, np.inf
+        for s in self.mapper.kf_slots:
+            if np.isfinite(err[s]) and err[s] < best_err:
+                best, best_err = s, float(err[s])
+        if best < 0 or best_err > self.cfg.tracking_error_threshold:
+            return False
+        # pose_wc = pose_wk * pose_ck^-1 (host: tiny quaternion math)
+        wk = SE3(kq[best], kt[best])
+        ck = SE3(q[best], t[best])
+        wc = se3m.mul(wk, se3m.inverse(
+            SE3(jnp.asarray(ck.q), jnp.asarray(ck.t))))
+        self.pose_wc = SE3(*(np.asarray(x) for x in jax.device_get(
+            (wc.q, wc.t))))
+        self._set_current_kf(best)
+        self._last_kf_dists = None
+        self.tracker.error = best_err
+        return True
 
     def set_source_camera(self, src) -> None:
         """Declare the raw camera (io.preprocess.SourceCamera): frames are
@@ -369,15 +423,6 @@ class DeepFactors:
         # capacity eviction
         self.mapper.protected_slots = {slot} | set(self.mapper.kf_slots[-2:])
 
-    def _refresh_tracker_keyframe(self):
-        """After mapping, the keyframe's pose/depth moved — refresh the
-        tracker's copy (reference UpdateMap writeback does this implicitly
-        through shared GPU buffers)."""
-        if self.curr_kf is not None:
-            pose_wc = self.tracker.get_pose_estimate()
-            self._set_tracker_keyframe(self.curr_kf)
-            self.tracker.set_pose(pose_wc)
-
     def _select_keyframe(self) -> int:
         """SelectKeyframe (deepfactors.cpp:813-848). CLOSEST uses the
         previous frame's probe distances (same pose_wc the reference would
@@ -400,41 +445,6 @@ class DeepFactors:
             if s < len(d) and d[s] < bd:
                 best, bd = s, float(d[s])
         return best
-
-    def _track(self, img_pyr, grad_pyr) -> SE3:
-        newkf = self._select_keyframe()
-        if newkf != self.curr_kf:
-            self._set_tracker_keyframe(newkf)
-            self.curr_kf = newkf
-        self.tracker.track_frame(img_pyr, grad_pyr, sync_stats=False)
-        return self.tracker.get_pose_estimate()
-
-    def _relocalize(self, img_pyr, grad_pyr) -> SE3:
-        """Relocalize (deepfactors.cpp:713-743): brute-force dense tracking
-        against every keyframe, keep the best error. One round trip: every
-        candidate is tracked (async), errors fetched in one batch."""
-        results = []
-        for s in self.mapper.kf_slots:
-            self._set_tracker_keyframe(s)
-            self.tracker.reset()
-            self.tracker.track_frame(img_pyr, grad_pyr, sync_stats=False)
-            results.append((s, self.tracker.get_pose_estimate(),
-                            self.tracker.stats))
-        errs = np.asarray(jax.device_get(
-            jnp.stack([st[1] for _, _, st in results])))
-        best = int(np.argmin(np.where(np.isfinite(errs), errs, np.inf)))
-        if not np.isfinite(errs[best]):
-            # relocalization failed — stay lost at the previous pose
-            self._set_tracker_keyframe(self.curr_kf)
-            self.tracker.set_pose(self.pose_wc)
-            self.tracker.error = float("inf")
-            return self.pose_wc
-        slot, pose, stats = results[best]
-        self.curr_kf = slot
-        self._set_tracker_keyframe(slot)
-        self.tracker.set_pose(pose)
-        self.tracker.error = float(errs[best])
-        return pose
 
     def _check_tracking_lost(self, probe: dict) -> bool:
         """CheckTrackingLost (deepfactors.cpp:852-879).
@@ -554,9 +564,11 @@ class DeepFactors:
         self.bootstrapped = False
         self.tracking_lost = False
         self.curr_kf = None
-        self.pose_wc = se3m.identity()
+        self.pose_wc = SE3(np.array([1.0, 0, 0, 0], np.float32),
+                           np.zeros(3, np.float32))
         self.trajectory = []
         self.loop_links = []
+        self._last_kf_dists = None
 
     def save_results(self, dir_path: str):
         """SaveResults (deepfactors.cpp:574-594): TUM trajectory + per-kf

@@ -43,40 +43,51 @@ class TrackResult(NamedTuple):
     error: Array     # avg residual at finest level (inf if no inliers)
 
 
+def track_c2f(cfg: TrackerConfig, cams, pose_ck: SE3, kf_imgs, kf_dpts,
+              imgs, grads):
+    """Pure coarse-to-fine dense SE(3) tracking (camera_tracker.cpp:42-91):
+    per-level lax.fori_loop GN with the decoupled retract. Trace-time
+    building block shared by the tracker's jitted dispatch and the system's
+    fused per-frame step. Returns (q, t, stats [inliers, error])."""
+    pose = pose_ck
+    inliers = jnp.asarray(0.0)
+    error = jnp.asarray(jnp.inf)
+    for level in reversed(range(cfg.pyramid_levels)):
+        img0, dpt0 = kf_imgs[level], kf_dpts[level]
+        img1, grad1 = imgs[level], grads[level]
+        n_iters = cfg.iterations_per_level[level]
+
+        def body(_, carry, level=level, img0=img0, dpt0=dpt0, img1=img1,
+                 grad1=grad1):
+            q, t, _inl, _err = carry
+            sys = ds.se3_step(
+                SE3(q, t), cams[level], img0, img1, dpt0, grad1,
+                cfg.huber_delta, grad_mode=cfg.grad_mode,
+            )
+            new_pose = ds.se3_solve_and_update(
+                sys.JtJ, sys.Jtr, SE3(q, t), damping=1e-8
+            )
+            inl = sys.inliers / (img1.shape[0] * img1.shape[1])
+            err = jnp.where(
+                sys.inliers > 0, sys.residual / jnp.maximum(sys.inliers, 1.0),
+                jnp.inf,
+            )
+            return new_pose.q, new_pose.t, inl, err
+
+        q, t, inliers, error = jax.lax.fori_loop(
+            0, n_iters, body, (pose.q, pose.t, inliers, error)
+        )
+        pose = SE3(q, t)
+    return pose.q, pose.t, jnp.stack([inliers, error])
+
+
 def _make_track_fn(cfg: TrackerConfig, cam: PinholeCamera):
     cams = camera_pyramid(cam, cfg.pyramid_levels)
 
     def track(pose_q, pose_t, kf_imgs, kf_dpts, imgs, grads):
         """kf_imgs/kf_dpts/imgs/grads: tuples of per-level arrays."""
-        pose = SE3(pose_q, pose_t)
-        inliers = jnp.asarray(0.0)
-        error = jnp.asarray(jnp.inf)
-        for level in reversed(range(cfg.pyramid_levels)):
-            img0, dpt0 = kf_imgs[level], kf_dpts[level]
-            img1, grad1 = imgs[level], grads[level]
-            n_iters = cfg.iterations_per_level[level]
-
-            def body(_, carry):
-                q, t, _inl, _err = carry
-                sys = ds.se3_step(
-                    SE3(q, t), cams[level], img0, img1, dpt0, grad1,
-                    cfg.huber_delta, grad_mode=cfg.grad_mode,
-                )
-                new_pose = ds.se3_solve_and_update(
-                    sys.JtJ, sys.Jtr, SE3(q, t), damping=1e-8
-                )
-                inl = sys.inliers / (img1.shape[0] * img1.shape[1])
-                err = jnp.where(
-                    sys.inliers > 0, sys.residual / jnp.maximum(sys.inliers, 1.0),
-                    jnp.inf,
-                )
-                return new_pose.q, new_pose.t, inl, err
-
-            q, t, inliers, error = jax.lax.fori_loop(
-                0, n_iters, body, (pose.q, pose.t, inliers, error)
-            )
-            pose = SE3(q, t)
-        return pose.q, pose.t, jnp.stack([inliers, error])
+        return track_c2f(cfg, cams, SE3(pose_q, pose_t), kf_imgs, kf_dpts,
+                         imgs, grads)
 
     return jax.jit(track)
 

@@ -210,8 +210,10 @@ int32_t df_sched_update(void* h, int32_t iters_done, int32_t converged) {
     }
   }
   if (converged) {
+    // guard at >= 0: mirrors PyScheduler — an unbounded decrement walks
+    // already-finished works to arbitrarily negative levels
     for (auto& w : s->work)
-      if (!w.first) w.active_level -= 1;
+      if (!w.first && w.active_level >= 0) w.active_level -= 1;
     for (auto& w : s->work)
       if (w.remove_after && w.active_level < 0) w.remove = true;
   }
@@ -247,6 +249,52 @@ int32_t df_sched_update(void* h, int32_t iters_done, int32_t converged) {
 
 int32_t df_sched_has_work(void* h) {
   return static_cast<Scheduler*>(h)->work.empty() ? 0 : 1;
+}
+
+// Shared-schedule signature for the mapper's single-dispatch C2F descent
+// fast path (mapper._fused_segments): when every live work is a PHOTO work
+// with no pending child, not flagged for removal, and ALL share one
+// (active_level, iters, orig_iters) state, writes
+//   out[0] = active_level, out[1] = n_levels,
+//   out[2 .. 2+n)            = iters (finest-first),
+//   out[2+kMaxLevels .. +n)  = orig_iters
+// and returns 1; else returns 0 (caller falls back to phase-wise steps).
+// out must hold 2 + 2*kMaxLevels ints.
+int32_t df_sched_fused_sig(void* h, int32_t* out) {
+  auto* s = static_cast<Scheduler*>(h);
+  if (s->work.empty() || !s->pending_children.empty()) return 0;
+  const Work* w0 = nullptr;
+  for (auto& w : s->work) {
+    if (w.kind != PHOTO || w.remove || w.child > 0) return 0;
+    if (!w0) {
+      w0 = &w;
+      continue;
+    }
+    if (w.active_level != w0->active_level || w.n_levels != w0->n_levels)
+      return 0;
+    for (int l = 0; l < w.n_levels; ++l)
+      if (w.iters[l] != w0->iters[l] || w.orig_iters[l] != w0->orig_iters[l])
+        return 0;
+  }
+  out[0] = w0->active_level;
+  out[1] = w0->n_levels;
+  for (int l = 0; l < w0->n_levels; ++l) {
+    out[2 + l] = w0->iters[l];
+    out[2 + kMaxLevels + l] = w0->orig_iters[l];
+  }
+  return 1;
+}
+
+// Mark photo-pool slots owned by live works (the descending factor set for
+// run_segments' pool_descent mask). out must hold photo_cap bytes.
+void df_sched_descent_slots(void* h, uint8_t* out) {
+  auto* s = static_cast<Scheduler*>(h);
+  size_t cap = s->photo_pool.active.size();
+  for (size_t i = 0; i < cap; ++i) out[i] = 0;
+  for (auto& w : s->work)
+    if (w.kind == PHOTO && w.pool_slot >= 0 &&
+        w.pool_slot < (int32_t)cap)
+      out[w.pool_slot] = 1;
 }
 
 int32_t df_sched_error(void* h) { return static_cast<Scheduler*>(h)->error; }

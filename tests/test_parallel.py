@@ -145,6 +145,76 @@ def test_multi_sequence_batched():
             f"scene {s}: tx {t[s, 0]} vs {2 * steps[s]}"
 
 
+def test_mapper_state_bridge_matches_mapper_ba():
+    """factors_from_map_state: a live Mapper window handed to dist_ba must
+    optimize to the same estimate as the mapper's own window BA (same
+    factors, same priors, same damping) — the mapper->dist_ba bridge of
+    VERDICT r2 next #7."""
+    from deepfactors_tpu.mapping.mapper import Mapper, MapperConfig
+
+    Hm, Wm = 32, 48
+    cam = PinholeCamera.create(fx=40.0, fy=40.0, u0=Wm / 2, v0=Hm / 2,
+                               width=Wm, height=Hm)
+    Kc = 3
+    cfg = MapperConfig(
+        max_keyframes=Kc, max_frames=1, max_factors=8, code_size=CS,
+        height=Hm, width=Wm, pyramid_levels=1, pho_iters=(4,),
+        grad_mode="sampled", relin_threshold=0.0, use_schur=False,
+    )
+    ys, xs = np.mgrid[0:Hm, 0:Wm].astype(np.float32)
+
+    def img(k):
+        return (0.5 + 0.3 * np.sin(xs / 5 + 0.3 * k)
+                * np.cos(ys / 4 + 0.2 * k)).astype(np.float32)
+
+    m = Mapper(cfg, cam, decoder=None)
+    for k in range(Kc):
+        m.add_keyframe_to_map(img(k), se3m.identity())
+    m._add_photo_pair(0, 1)
+    m._add_photo_pair(1, 2)
+    m._bookkeeping()
+    pool = m.pool
+    act = pool.active & ~pool.dst_is_frame
+
+    # dist_ba on the SAME window via the bridge (single-device mesh)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("factors",))
+    state0 = m.state
+    fd = dist_ba.factors_from_map_state(
+        state0, pool.src, pool.dst, act, level=0)
+    fd = dist_ba.shard_factors(mesh, "factors", fd)
+    params = ds.SfmParams(huber_delta=cfg.huber_delta, avg_dpt=cfg.avg_dpt,
+                          min_dpt=cfg.min_dpt,
+                          valid_border=cfg.valid_border)
+    step = dist_ba.make_ba_step(mesh, "factors", Kc, CS, cam, params,
+                                code_prior=cfg.code_prior,
+                                pose_prior=cfg.pose_prior,
+                                lam=cfg.lm_lambda)
+    q, t, c = state0.pose.q, state0.pose.t, state0.code
+    for _ in range(3):
+        q, t, c, _ = step(q, t, c, fd, state0.active)
+
+    # the mapper's own BA, same iteration count (direct run-fn call so the
+    # iteration budget matches exactly)
+    cpool = m._compact_pool()
+    rep = {k2: jnp.asarray(v) for k2, v in m.rep_pool._asdict().items()}
+    geo = {k2: jnp.asarray(v) for k2, v in m.geo_pool._asdict().items()}
+    state, frames, _ = m._run_fn(
+        m.state, m.frames,
+        jnp.asarray(cpool.src), jnp.asarray(cpool.dst),
+        jnp.asarray(cpool.dst_is_frame), jnp.asarray(cpool.level),
+        jnp.asarray(cpool.active), rep, geo, m.marginals, m.dprior,
+        jnp.ones((Kc,), bool), jnp.ones((1,), bool),
+        jnp.asarray(0, jnp.int32),
+        se3m.identity().q, se3m.identity().t,
+        jnp.asarray(cfg.lm_lambda, jnp.float32),
+        jnp.asarray(3, jnp.int32), (0,), False,
+    )
+    np.testing.assert_allclose(np.asarray(t),
+                               np.asarray(state.pose.t), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(state.code),
+                               atol=2e-4)
+
+
 def test_dryrun_multichip_entry():
     import sys
     sys.path.insert(0, "/root/repo")

@@ -62,6 +62,12 @@ def main():
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--decoder", default="data/nets/room256_32")
     ap.add_argument("--no-decoder", action="store_true")
+    ap.add_argument("--oracle", action="store_true",
+                    help="GT-depth OracleDecoder (io/synth.py): the solver/"
+                         "tracker error floor with decoder error removed — "
+                         "the promised oracle row (VERDICT r2 missing #5)")
+    ap.add_argument("--no-loop-closure", action="store_true",
+                    help="disable loop closure (ATE ablation row)")
     ap.add_argument("--max-keyframes", type=int, default=32)
     ap.add_argument("--dist-threshold", type=float, default=1.2)
     # >2π sweep revisits the start; 3.2π puts the revisit gap (~187
@@ -84,7 +90,9 @@ def main():
                                width=W, height=H)
 
     decoder = None
-    if not args.no_decoder:
+    if args.no_decoder or args.oracle:
+        pass
+    else:
         from deepfactors_tpu.models.decoder import (Decoder, NetworkConfig,
                                                     load_params)
         with open(args.decoder + ".json") as f:
@@ -92,25 +100,34 @@ def main():
         ncfg = NetworkConfig(
             code_size=nj["code_size"], pyramid_levels=nj["pyramid_levels"],
             input_width=nj["input_width"], input_height=nj["input_height"],
-            avg_dpt=nj["avg_dpt"],
+            avg_dpt=nj["avg_dpt"], base_ch=nj.get("base_ch", 32),
+            pred_head=nj.get("pred_head", "gap"),
         )
         decoder = Decoder(ncfg, params=load_params(args.decoder + ".pkl"))
 
     scene = synth.random_room(args.scene_seed, n_boxes=3)
     poses = synth.orbit_trajectory(args.frames, sweep=args.sweep)
     cache = (f"/tmp/room_seq_{args.scene_seed}_{args.frames}_"
-             f"{args.sweep:.3f}_{H}x{W}.npz")
+             f"{args.sweep:.3f}_{H}x{W}_d.npz")
     if os.path.exists(cache):
         print(f"loading cached sequence {cache}", file=sys.stderr)
-        frames = list(np.load(cache)["frames"])
+        z = np.load(cache)
+        frames, depths = list(z["frames"]), list(z["depths"])
     else:
         print(f"rendering {args.frames}-frame room sequence...",
               file=sys.stderr)
-        frames = synth.render_sequence(scene, cam, poses, H, W)
-        np.savez_compressed(cache, frames=np.stack(frames))
+        frames, depths = synth.render_sequence(scene, cam, poses, H, W,
+                                               with_depth=True)
+        np.savez_compressed(cache, frames=np.stack(frames),
+                            depths=np.stack(depths))
+    if args.oracle:
+        decoder = synth.OracleDecoder(frames, depths, levels=3,
+                                      code_size=32)
 
     df = build_system(cam, H, W, decoder, args.max_keyframes,
                       args.dist_threshold)
+    if args.no_loop_closure:
+        df.loop_detector = None
     df.bootstrap_two_frames(frames[0], frames[2])
     # timestamps: frame index (the TUM protocol uses seconds; index is fine
     # for ATE association)
@@ -158,7 +175,9 @@ def main():
         "n_nonfinite_poses": n_bad,
         "n_tracked": len(est),
         "lost": bool(df.tracking_lost),
-        "decoder": None if args.no_decoder else args.decoder,
+        "decoder": ("oracle" if args.oracle
+                    else None if args.no_decoder else args.decoder),
+        "loop_closure": not args.no_loop_closure,
     }))
 
 

@@ -46,9 +46,12 @@ def worker(nproc: int, proc_id: int, coord: str, devices_per_proc: int = 2):
     assert jax.process_count() == nproc
     mesh = multihost.global_mesh("factors")
 
-    K, CS, H, W = 4, 8, 16, 16
+    # PRODUCTION problem size (256x192, CS=32, 2 factors/device) per
+    # VERDICT r2 next #7 — the DCN psum crosses processes at the real
+    # system dimension D = K*(6+CS)
+    K, CS, H, W = 8, 32, 192, 256
     n_factors = 2 * nproc * devices_per_proc
-    cam = PinholeCamera.create(fx=20.0, fy=20.0, u0=W / 2, v0=H / 2,
+    cam = PinholeCamera.create(fx=220.0, fy=220.0, u0=W / 2, v0=H / 2,
                                width=W, height=H)
     params = ds.SfmParams(huber_delta=0.3, avg_dpt=2.0, min_dpt=0.0,
                           valid_border=1)

@@ -10,10 +10,9 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_e2e.py
 import argparse
 import contextlib
 import io
+import os
 import sys
 import time
-
-import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -32,7 +31,6 @@ def main():
     from deepfactors_tpu.geometry.camera import PinholeCamera
     from deepfactors_tpu.io import synth
     from deepfactors_tpu.utils import timing
-    sys.path.insert(0, "/root/repo")
     from bench import load_decoder, H, W
     from tools.bench_e2e import build_system
 
@@ -42,7 +40,14 @@ def main():
     scene = synth.random_room(7, n_boxes=3)
     n = args.frames
     poses = synth.orbit_trajectory(n)
-    frames = synth.render_sequence(scene, cam, poses, H, W)
+    # cache the rendered sequence: the renderer's own (re)compile through
+    # the tunnel can dwarf the thing being profiled
+    cache = f"/tmp/profile_seq_7_{n}_{H}x{W}.npz"
+    if os.path.exists(cache):
+        frames = list(np.load(cache)["frames"])
+    else:
+        frames = synth.render_sequence(scene, cam, poses, H, W)
+        np.savez_compressed(cache, frames=np.stack(frames))
 
     df = build_system(cam, H, W, decoder, max_keyframes=10,
                       dist_threshold=1.2)
@@ -50,7 +55,9 @@ def main():
         df.loop_detector = None
     df.bootstrap_two_frames(frames[0], frames[2])
     df.trajectory = [(0.0, df.pose_wc)]
-    warm = min(10, n - 4)
+    warm = max(0, min(10, n - 4))
+    if n - 3 - warm < 1:
+        sys.exit(f"--frames {n} leaves no timed frames (need >= {4 + warm})")
     for i in range(3, 3 + warm):
         df.process_frame(float(i), frames[i])
     jax.block_until_ready(df.mapper.state.pose.t)

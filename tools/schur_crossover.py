@@ -54,7 +54,16 @@ def timed_per_solve(solve, gsys, n_lo=30, n_hi=300):
         @jax.jit
         def run(b):
             def body(b, _):
-                d = solve(gsys._replace(b=b))
+                # H must depend on the carried b: with a loop-invariant H the
+                # Cholesky factorization (the dominant cost of both paths) is
+                # eligible for while-loop invariant code motion and the
+                # differencing would time only the triangular solves. In the
+                # real LM loop H changes every solve. The epsilon is ~1e-12
+                # of the diagonal scale, numerically irrelevant.
+                eps = 1e-6 * b[0] * b[0]
+                D = gsys.H.shape[0]
+                s = gsys._replace(H=gsys.H + eps * jnp.eye(D), b=b)
+                d = solve(s)
                 return d / (jnp.linalg.norm(d) + 1e-6), None
             return lax.scan(body, b, None, length=n)[0]
         return run

@@ -74,6 +74,9 @@ def main():
     ap.add_argument("--poses-per-room", type=int, default=48)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--beta", type=float, default=3e-4)
+    ap.add_argument("--base-ch", type=int, default=32)
+    ap.add_argument("--pred-head", default="gap", choices=("gap", "conv"))
+    ap.add_argument("--distill-w", type=float, default=0.1)
     ap.add_argument("--out", default="data/nets/room256_32")
     ap.add_argument("--log-every", type=int, default=200)
     args = ap.parse_args()
@@ -95,7 +98,8 @@ def main():
                                width=W, height=H)
     cfg = NetworkConfig(code_size=CS, pyramid_levels=L, input_width=W,
                         input_height=H, avg_dpt=AVG_DPT,
-                        fx=220.0, fy=220.0, u0=W / 2, v0=H / 2)
+                        fx=220.0, fy=220.0, u0=W / 2, v0=H / 2,
+                        base_ch=args.base_ch, pred_head=args.pred_head)
 
     print("rendering training set...", flush=True)
     t0 = time.time()
@@ -109,7 +113,8 @@ def main():
     print(f"dataset: {n} train / {val_imgs.shape[0]} val frames "
           f"({time.time() - t0:.1f}s)", flush=True)
 
-    model = VAEModel(code_size=CS, levels=L)
+    model = VAEModel(code_size=CS, levels=L, base_ch=args.base_ch,
+                     pred_head=args.pred_head)
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((H, W), jnp.float32)
     # jitted init: unjitted flax init dispatches op-by-op (~7 ms each
@@ -120,7 +125,8 @@ def main():
                      optax.adamw(optax.cosine_decay_schedule(
                          args.lr, args.steps, alpha=0.1)))
     state = TrainState(params, tx.init(params), jnp.asarray(0))
-    step_fn = make_train_step(model, tx, args.beta)
+    step_fn = make_train_step(model, tx, args.beta,
+                              distill_w=args.distill_w)
 
     # NOTE: the dataset MUST be an argument, not a closure — jit embeds
     # closed-over arrays as program constants and a 0.5 GB literal wedges
@@ -188,6 +194,7 @@ def main():
             "code_size": CS, "pyramid_levels": L, "input_width": W,
             "input_height": H, "avg_dpt": AVG_DPT, "grayscale": True,
             "fx": 220.0, "fy": 220.0, "u0": W / 2, "v0": H / 2,
+            "base_ch": args.base_ch, "pred_head": args.pred_head,
             "trained_on": (f"io.synth room_dataset ({args.rooms} rooms x "
                            f"{args.poses_per_room} views), {args.steps} "
                            f"steps adamw {args.lr}, beta {args.beta}"),
