@@ -201,9 +201,7 @@ def bench_e2e(cam, decoder, n_frames=120, loop_closure=True,
                                       code_size=CS)
     # thresholds mirror tools/bench_e2e.py's tuned CLI defaults
     df = build_system(cam, H, W, decoder, max_keyframes=10,
-                      dist_threshold=1.2)
-    if not loop_closure:
-        df.loop_detector = None
+                      dist_threshold=1.2, loop_closure=loop_closure)
     df.bootstrap_two_frames(frames[0], frames[2])
     df.trajectory = [(0.0, df.pose_wc)]
     warm = 10

@@ -75,8 +75,11 @@ def build_frame_fn(tracker_cfg: TrackerConfig, cam: PinholeCamera,
 
     Call signature (all traced):
       frame_fn(img, kf_imgs, kf_dpts, kf_q, kf_t, fr_q, fr_t, curr_kf,
-               prev_q, prev_t, voc_words, voc_idf, db, db_valid)
-    where kf_imgs/kf_dpts are the map's per-level [K, h, w] pools.
+               prev_q, prev_t, prev2_q, prev2_t, voc_words, voc_idf, db,
+               db_valid)
+    where kf_imgs/kf_dpts are the map's per-level [K, h, w] pools and
+    (prev2_q, prev2_t) is the pose one frame before prev (constant-velocity
+    prediction; pass prev for a zero-velocity start).
     """
     cams = camera_pyramid(cam, levels)
     if with_loop:
@@ -85,7 +88,8 @@ def build_frame_fn(tracker_cfg: TrackerConfig, cam: PinholeCamera,
 
     @jax.jit
     def frame_fn(img, kf_imgs, kf_dpts, kf_q, kf_t, fr_q, fr_t, curr_kf,
-                 prev_q, prev_t, voc_words, voc_idf, db, db_valid):
+                 prev_q, prev_t, prev2_q, prev2_t, voc_words, voc_idf, db,
+                 db_valid):
         img = jnp.asarray(img, jnp.float32)
         img_pyr = tuple(ip.build_pyramid(img, levels))
         grad_pyr = tuple(ip.build_gradient_pyramid(img_pyr))
@@ -97,8 +101,17 @@ def build_frame_fn(tracker_cfg: TrackerConfig, cam: PinholeCamera,
         kf_dpt = tuple(fct.take_rows(p, idx)[0] for p in kf_dpts)
         pose_wk = SE3(kf_q[curr_kf], kf_t[curr_kf])
 
+        # constant-velocity initialization (the reference tracks from the
+        # last relative motion, camera_tracker.cpp:42-91): predict
+        # pred = prev ∘ (prev2⁻¹ ∘ prev). The caller passes prev2 == prev
+        # when there is no motion history (bootstrap / relocalization /
+        # keyframe switch), making the prediction the previous pose.
+        prev = SE3(prev_q, prev_t)
+        vel = se3m.mul(se3m.inverse(SE3(prev2_q, prev2_t)), prev)
+        pred = se3m.mul(prev, vel)
+
         # track: world pose -> pose_ck -> C2F GN -> world pose
-        pose_ck0 = se3m.mul(se3m.inverse(SE3(prev_q, prev_t)), pose_wk)
+        pose_ck0 = se3m.mul(se3m.inverse(pred), pose_wk)
         q, t, stats = track_c2f(tracker_cfg, cams, pose_ck0, kf_img, kf_dpt,
                                 img_pyr, grad_pyr)
         pose_wc = se3m.mul(pose_wk, se3m.inverse(SE3(q, t)))

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 
 def build_system(cam, H, W, decoder, max_keyframes=32,
-                 dist_threshold=2.0):
+                 dist_threshold=2.0, loop_closure=True):
     from deepfactors_tpu.mapping.mapper import MapperConfig
     from deepfactors_tpu.system import DeepFactors, SystemConfig
     from deepfactors_tpu.loop.vocabulary import default_vocabulary
@@ -49,12 +49,16 @@ def build_system(cam, H, W, decoder, max_keyframes=32,
         # distance where it should have made a keyframe
         tracking_dist_threshold=2.5 * dist_threshold,
         frame_dist_threshold=0.12,
-        loop_closure=True,
+        # loop closure must be disabled HERE, not by nulling loop_detector
+        # post-construction: the fused frame fn compiles with_loop at
+        # __init__ (ADVICE r3 #3)
+        loop_closure=loop_closure,
         loop_active_window=8,
         loop_max_dist=0.35,
     )
     return DeepFactors(cfg, cam, decoder=decoder,
-                       vocabulary=default_vocabulary())
+                       vocabulary=default_vocabulary() if loop_closure
+                       else None)
 
 
 def main():
@@ -125,9 +129,8 @@ def main():
                                       code_size=32)
 
     df = build_system(cam, H, W, decoder, args.max_keyframes,
-                      args.dist_threshold)
-    if args.no_loop_closure:
-        df.loop_detector = None
+                      args.dist_threshold,
+                      loop_closure=not args.no_loop_closure)
     df.bootstrap_two_frames(frames[0], frames[2])
     # timestamps: frame index (the TUM protocol uses seconds; index is fine
     # for ATE association)
