@@ -216,7 +216,16 @@ def bench_e2e(cam, decoder, n_frames=120, loop_closure=True,
     est = df.trajectory
     gt = [(ts, poses[int(ts)]) for ts, _ in est]
     ate = tum_io.ate_rmse(est, gt)
-    return fps, ate, len(df.mapper.kf_slots), len(df.mapper.archived)
+    n_arch_loops = sum(1 for _, b in df.loop_links if isinstance(b, tuple))
+    return {
+        "fps": fps, "ate": ate, "n_kf": len(df.mapper.kf_slots),
+        "n_evicted": len(df.mapper.archived),
+        "n_loops": len(df.loop_links), "n_arch_loops": n_arch_loops,
+        "n_frames": df.n_frames, "n_lost": df.n_lost_frames,
+        "n_reloc": df.n_relocalizations,
+        "tracked_fraction": (round(1.0 - df.n_lost_frames
+                                   / max(df.n_frames, 1), 4)),
+    }
 
 
 def main():
@@ -249,27 +258,30 @@ def main():
     kf_per_s = bench_keyframes(cam, decoder) if decoder else None
     stage("e2e")
     e2e_error = None
+    e2e = {}
     try:
-        e2e_fps, ate_m, n_kf, n_evicted = bench_e2e(cam, decoder)
+        e2e = bench_e2e(cam, decoder)
     except Exception as e:  # keep the headline metric robust, but LOUD
         print(f"e2e bench failed: {e!r}", file=sys.stderr)
-        e2e_fps = ate_m = n_kf = n_evicted = None
         e2e_error = repr(e)
+    e2e_fps, ate_m = e2e.get("fps"), e2e.get("ate")
     stage("e2e ablations (oracle / no-loop)")
     try:
-        _, ate_oracle, _, _ = bench_e2e(cam, decoder, oracle=True)
+        ate_oracle = bench_e2e(cam, decoder, oracle=True)["ate"]
     except Exception as e:
         print(f"oracle e2e failed: {e!r}", file=sys.stderr)
         ate_oracle = None
     try:
-        _, ate_noloop, _, _ = bench_e2e(cam, decoder, loop_closure=False)
+        ate_noloop = bench_e2e(cam, decoder, loop_closure=False)["ate"]
     except Exception as e:
         print(f"no-loop e2e failed: {e!r}", file=sys.stderr)
         ate_noloop = None
 
     print(f"factors={n_factors} track_fps={track_fps:.1f} "
           f"kf_per_s={kf_per_s} e2e_fps={e2e_fps} ate={ate_m} "
-          f"ate_oracle={ate_oracle} ate_noloop={ate_noloop}",
+          f"ate_oracle={ate_oracle} ate_noloop={ate_noloop} "
+          f"loops={e2e.get('n_loops')} arch_loops={e2e.get('n_arch_loops')} "
+          f"tracked={e2e.get('tracked_fraction')}",
           file=sys.stderr)
 
     print(json.dumps({
@@ -301,8 +313,16 @@ def main():
                              if ate_oracle is not None else None),
             "ate_no_loop_closure_m": (round(ate_noloop, 4)
                                       if ate_noloop is not None else None),
-            "e2e_keyframes": n_kf,
-            "e2e_evicted": n_evicted,
+            "e2e_keyframes": e2e.get("n_kf"),
+            "e2e_evicted": e2e.get("n_evicted"),
+            # coverage honesty (VERDICT r3 weak #2): ATE is only
+            # reportable when tracked_fraction is ~1
+            "e2e_tracked_fraction": e2e.get("tracked_fraction"),
+            "e2e_n_lost": e2e.get("n_lost"),
+            "e2e_n_relocalizations": e2e.get("n_reloc"),
+            # loop-closure consequence (VERDICT r3 weak #4)
+            "e2e_n_loops": e2e.get("n_loops"),
+            "e2e_n_archived_loops": e2e.get("n_arch_loops"),
         },
     }))
 

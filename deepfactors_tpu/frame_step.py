@@ -56,14 +56,19 @@ class FrameStepOut(NamedTuple):
     grad_pyr: tuple   # per-level [h, w, 2] device arrays
 
 
-def probe_layout(K: int, F: int):
+def probe_layout(K: int, F: int, S: int = None):
     """Slice offsets of the packed probe vector:
-    [wc_q(4) | wc_t(3) | d_full(K) | d_trans(K) | fr_trans(F) | sims(K) |
-     rot | inliers | error]."""
+    [wc_q(4) | wc_t(3) | d_full(K) | d_trans(K) | fr_trans(F) | sims(S) |
+     rot | inliers | error].
+
+    ``S`` is the BoW-similarity length: K + archive_cap when the loop
+    detector keeps an evicted-keyframe archive, else K."""
+    if S is None:
+        S = K
     off = {}
     o = 0
     for name, n in (("wc_q", 4), ("wc_t", 3), ("d_full", K), ("d_trans", K),
-                    ("fr_trans", F), ("sims", K), ("tail", 3)):
+                    ("fr_trans", F), ("sims", S), ("tail", 3)):
         off[name] = (o, o + n)
         o += n
     return off, o

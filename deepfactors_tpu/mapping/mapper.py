@@ -509,13 +509,19 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
 
     @functools.partial(jax.jit, static_argnames=("segments", "use_frames"))
     def run_segments(
-        state, frames_, pool_src, pool_dst, pool_isf, pool_level,
-        pool_active, pool_descent,
-        rep, geo, marginals, dprior,
-        kf_var_mask, frame_var_mask, anchor_slot, anchor_q, anchor_t, lam,
+        state, frames_, packed, rep, geo, marginals, dprior,
+        anchor_q, anchor_t, anchor_slot,
         segments, use_frames,
     ):
         """The ENTIRE coarse-to-fine descent in one dispatch.
+
+        ``packed`` is ONE [6, P] int32 host upload carrying
+        (src, dst, dst_is_frame, level, active, descent) — through the axon
+        tunnel every per-call jnp.asarray is its own ~5-15 ms transfer, and
+        the previous 13-argument form made a 48 ms descent bill 240-700 ms
+        (measured). Anchor pose/slot stay device-resident (mapper updates
+        them only when the anchor changes); lam and the all-ones variable
+        masks are baked in as constants.
 
         ``segments`` is a static tuple of (level, budget): for each, run up
         to ``budget`` GN iterations at that pyramid level, exiting early on
@@ -530,6 +536,15 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         follow the segment level. Persistent factors from finished works
         keep their own ``pool_level`` (the reference keeps converged
         photometric factors live in ISAM2 at their final level)."""
+        pool_src = packed[0]
+        pool_dst = packed[1]
+        pool_isf = packed[2].astype(bool)
+        pool_level = packed[3]
+        pool_active = packed[4].astype(bool)
+        pool_descent = packed[5].astype(bool)
+        kf_var_mask = jnp.ones((K,), bool)
+        frame_var_mask = jnp.ones((F,), bool)
+        lam = jnp.asarray(cfg.lm_lambda, jnp.float32)
         seg_stats = []
         for (lvl, budget) in segments:
             eff_level = jnp.where(pool_descent,
@@ -1393,21 +1408,19 @@ class Mapper:
         self._bookkeeping()
         descent_full = self.sched.descent_slots()
         pool, descent = self._compact_pool(extra=descent_full)
-        kf_mask = jnp.ones((self.cfg.max_keyframes,), bool)
-        fr_mask = jnp.ones((self.cfg.max_frames,), bool)
-        anchor = self.kf_slots[0] if self.kf_slots else 0
-        rep = {k: jnp.asarray(v) for k, v in self.rep_pool._asdict().items()}
-        geo = {k: jnp.asarray(v) for k, v in self.geo_pool._asdict().items()}
+        # ONE host->device upload for all per-call pool metadata (each
+        # jnp.asarray is its own multi-ms transfer through the axon tunnel)
+        packed = np.stack([
+            pool.src.astype(np.int32), pool.dst.astype(np.int32),
+            pool.dst_is_frame.astype(np.int32), pool.level.astype(np.int32),
+            pool.active.astype(np.int32), descent.astype(np.int32),
+        ])
+        rep, geo = self._rep_geo_dev()
+        aq, at, aslot = self._anchor_dev()
         self.state, self.frames, stats = self._run_segments_fn(
-            self.state, self.frames,
-            jnp.asarray(pool.src), jnp.asarray(pool.dst),
-            jnp.asarray(pool.dst_is_frame), jnp.asarray(pool.level),
-            jnp.asarray(pool.active), jnp.asarray(descent),
+            self.state, self.frames, jnp.asarray(packed),
             rep, geo, self.marginals, self.dprior,
-            kf_mask, fr_mask,
-            jnp.asarray(anchor, jnp.int32),
-            self._anchor_pose.q, self._anchor_pose.t,
-            jnp.asarray(self.cfg.lm_lambda, jnp.float32),
+            aq, at, aslot,
             segs, bool(np.any(pool.active & pool.dst_is_frame)),
         )
         # The device ran EVERY segment to completion (early exit within a
@@ -1504,6 +1517,76 @@ class Mapper:
         if extra is not None:
             return out, extra[sel]
         return out
+
+    def add_loop_prior(self, slot: int, target_pose: SE3, sigma: float = 1.0):
+        """Pose-graph-lite loop constraint: an absolute pose prior on live
+        keyframe ``slot`` anchored at ``target_pose``, folded into the
+        marginal-prior store so every subsequent GN iteration sees it.
+
+        Used for loops against ARCHIVED keyframes: the reference links the
+        two live keyframes with a rep/photo factor (deepfactors.cpp:263-280,
+        mapper.cpp:347-392) — with the loop target marginalized out of the
+        fixed-capacity pool, the verified relative pose against the archived
+        keyframe's fixed pose becomes an absolute constraint instead. The
+        code block of the prior is zero (the loop says nothing about
+        depth)."""
+        if getattr(self, "_loop_prior_jit", None) is None:
+            CS = self.cfg.code_size
+
+            @jax.jit
+            def add(marginals, slot, q, t, code_pool, w):
+                B = 6 + CS
+                H = jnp.zeros((B, B)).at[jnp.arange(6),
+                                         jnp.arange(6)].set(w)
+                b = jnp.zeros((B,))
+                return mg.add_prior(marginals, slot, H, b, SE3(q, t),
+                                    code_pool[slot])
+
+            self._loop_prior_jit = add
+        self.marginals = self._loop_prior_jit(
+            self.marginals, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(target_pose.q, jnp.float32),
+            jnp.asarray(target_pose.t, jnp.float32),
+            self.state.code,
+            jnp.asarray(1.0 / (sigma * sigma), jnp.float32),
+        )
+
+    def _anchor_dev(self):
+        """Device-resident (anchor_q, anchor_t, anchor_slot) for the fused
+        descent — refreshed only when the anchor changes (mapping_run runs
+        several times per keyframe event; re-uploading per call costs
+        multiple tunnel transfers)."""
+        slot = self.kf_slots[0] if self.kf_slots else 0
+        cache = getattr(self, "_anchor_cache", None)
+        if cache is None or cache[0] is not self._anchor_pose \
+                or cache[1] != slot:
+            self._anchor_cache = (
+                self._anchor_pose, slot,
+                (jnp.asarray(self._anchor_pose.q),
+                 jnp.asarray(self._anchor_pose.t),
+                 jnp.asarray(slot, jnp.int32)),
+            )
+        return self._anchor_cache[2]
+
+    def _rep_geo_dev(self):
+        """Device copies of the rep/geo factor pools. When both factor
+        types are disabled (the flagship configuration) the pools never
+        change — upload once. When enabled, re-upload per call (the pools
+        are host arrays the scheduler mutates in place)."""
+        if self.cfg.use_reprojection or self.cfg.use_geometric:
+            rep = {k: jnp.asarray(v)
+                   for k, v in self.rep_pool._asdict().items()}
+            geo = {k: jnp.asarray(v)
+                   for k, v in self.geo_pool._asdict().items()}
+            return rep, geo
+        if getattr(self, "_static_repgeo", None) is None:
+            self._static_repgeo = (
+                {k: jnp.asarray(v)
+                 for k, v in self.rep_pool._asdict().items()},
+                {k: jnp.asarray(v)
+                 for k, v in self.geo_pool._asdict().items()},
+            )
+        return self._static_repgeo
 
     def _pool_buckets(self):
         """FIXED compaction bucket sizes: {8, pow2(max/2), max_factors}.

@@ -173,10 +173,16 @@ def main():
         "n_keyframes": n_kf,
         "n_evicted": n_evicted,
         "n_loop_links": len(df.loop_links),
+        "n_archived_loops": sum(1 for _, b in df.loop_links
+                                if isinstance(b, tuple)),
         "final_err_m": round(final_err, 4),
         "frames": args.frames,
         "n_nonfinite_poses": n_bad,
         "n_tracked": len(est),
+        "tracked_fraction": round(1.0 - df.n_lost_frames
+                                  / max(df.n_frames, 1), 4),
+        "n_lost_frames": df.n_lost_frames,
+        "n_relocalizations": df.n_relocalizations,
         "lost": bool(df.tracking_lost),
         "decoder": ("oracle" if args.oracle
                     else None if args.no_decoder else args.decoder),
