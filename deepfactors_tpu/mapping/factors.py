@@ -52,6 +52,7 @@ def photometric_gram_pools(
     pose0, pose1, code0, src, dst, cam_level, params,
     img0_pool, dpt_pool, jacT_pool, img1_pool, gx1_pool, gy1_pool,
     active=None, grad_mode="sampled", depth_from_code=False,
+    loss="huber",
 ) -> FactorBatch:
     """Fused-kernel photometric batch straight from pooled keyframe tensors.
 
@@ -75,7 +76,7 @@ def photometric_gram_pools(
     G = sk.sfm_gram_batch(kp, src, dst, img0_pool, dpt_pool, jacT_pool,
                           img1_pool, gx1_pool, gy1_pool, active=active,
                           codes=code0 if depth_from_code else None,
-                          grad_mode=grad_mode)
+                          grad_mode=grad_mode, loss=loss)
     JtJ, Jtr, res, inl = sk.system_from_gram(G, j_pose0, j_pose1, CS)
     return FactorBatch(JtJ, Jtr, res, inl)
 
@@ -90,6 +91,7 @@ def photometric_batch(
     active: Array = None,  # [P] fused kernel skips inactive slots (G = 0)
     grad_mode: str = "sampled",
     depth_from_code: bool = False,  # fused path: skip lvl.dpt, use prx0+code
+    loss: str = "huber",
 ) -> FactorBatch:
     """Evaluate photometric GN systems for factor pairs (src -> dst)."""
     lvl = state.levels[level]
@@ -104,7 +106,7 @@ def photometric_batch(
             lvl.img, lvl.prx0 if depth_from_code else lvl.dpt, lvl.jac,
             lvl.img, lvl.grad[..., 0], lvl.grad[..., 1],
             active=active, grad_mode=grad_mode,
-            depth_from_code=depth_from_code,
+            depth_from_code=depth_from_code, loss=loss,
         )
 
     sys = ds.sfm_step_batch(
@@ -113,7 +115,7 @@ def photometric_batch(
         take_rows(lvl.dpt, src), take_rows(lvl.stdev, src),
         jnp.transpose(take_rows(lvl.jac, src), (0, 2, 3, 1)),
         take_rows(lvl.grad, dst),
-        params, grad_mode=grad_mode,
+        params, grad_mode=grad_mode, loss=loss,
     )
     return FactorBatch(sys.JtJ, sys.Jtr, sys.residual, sys.inliers)
 

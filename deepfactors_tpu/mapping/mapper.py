@@ -62,6 +62,14 @@ class MapperConfig(NamedTuple):
     connection_mode: str = "LASTN"  # FULL | LASTN | FIRST | LAST
     max_back_connections: int = 4
     lm_lambda: float = 1e-4        # GN damping (ISAM2 uses pure GN)
+    # finest-level robust loss for photometric factors: 'tukey' REDESCENDS
+    # (zero weight beyond tukey_c) so occlusion / image-formation outliers
+    # stop biasing the equilibrium — measured 4x lower per-link pose bias
+    # vs Huber on synthetic room pairs (the r3 oracle-ATE floor). Coarse
+    # levels keep Huber's convergence basin. The reference uses Huber
+    # everywhere (m_estimators.h; common.flags pho_huber).
+    fine_loss: str = "tukey"
+    tukey_c: float = 0.10
     # photometric image-gradient source: 'interp' (exact derivative of the
     # bilinear-sampled residual, 1-channel gathers — fastest) or 'sampled'
     # (bilinearly sampled Sobel planes like the reference, dense_sfm.h:167/180)
@@ -261,6 +269,13 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         min_dpt=cfg.min_dpt, valid_border=cfg.valid_border,
     )
 
+    def level_loss(level: int):
+        """(params, loss) for a pyramid level: redescending fine_loss at
+        level 0, Huber at coarse levels (see MapperConfig.fine_loss)."""
+        if level == 0 and cfg.fine_loss != "huber":
+            return params._replace(huber_delta=cfg.tukey_c), cfg.fine_loss
+        return params, "huber"
+
     def frame_photo_batch(state, frames_, src, dst, level, active=None,
                           depth_from_code=False):
         """Photometric factors whose target is a one-way frame. Pool entries
@@ -274,14 +289,15 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         pose1 = SE3(fct.take_rows(frames_.pose.q, dstc),
                     fct.take_rows(frames_.pose.t, dstc))
         H, W = lvl.img.shape[1:]
+        lp, lloss = level_loss(level)
         if fct._fused_ok(H, W):
             return fct.photometric_gram_pools(
                 pose0, pose1, state.code[src], src, dstc, cams[level],
-                params, lvl.img,
+                lp, lvl.img,
                 lvl.prx0 if depth_from_code else lvl.dpt, lvl.jac,
                 flv.img, flv.grad[..., 0], flv.grad[..., 1],
                 active=active, grad_mode=cfg.grad_mode,
-                depth_from_code=depth_from_code,
+                depth_from_code=depth_from_code, loss=lloss,
             )
         return ds.sfm_step_batch(
             pose0, pose1, state.code[src], cams[level],
@@ -289,7 +305,7 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
             fct.take_rows(lvl.dpt, src), fct.take_rows(lvl.stdev, src),
             jnp.transpose(fct.take_rows(lvl.jac, src), (0, 2, 3, 1)),
             fct.take_rows(flv.grad, dstc),
-            params, grad_mode=cfg.grad_mode,
+            lp, grad_mode=cfg.grad_mode, loss=lloss,
         )
 
     def rep_systems(state, rep):
@@ -373,9 +389,11 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
             at_l = pool_active & (pool_level == l)
             kk = at_l & ~pool_isf
             kfm = at_l & pool_isf
+            lp, lloss = level_loss(l)
             batch = fct.photometric_batch(
-                state, pool_src, pool_dst, l, cams[l], params, active=kk,
+                state, pool_src, pool_dst, l, cams[l], lp, active=kk,
                 grad_mode=cfg.grad_mode, depth_from_code=fused_depth,
+                loss=lloss,
             )
             idx_kk = sysm.factor_slot_indices(pool_src, pool_dst, K, CS)
             all_H.append(batch.JtJ); all_b.append(batch.Jtr)
@@ -842,9 +860,15 @@ class Mapper:
             H = jnp.zeros((D, D), jnp.float32)
             g = jnp.zeros((D,), jnp.float32)
             for l in levels_present:
+                if l == 0 and cfg.fine_loss != "huber":
+                    lp, lloss = (params._replace(huber_delta=cfg.tukey_c),
+                                 cfg.fine_loss)
+                else:
+                    lp, lloss = params, "huber"
                 batch = fct.photometric_batch(
-                    state, src, dst, l, cams[l], params,
+                    state, src, dst, l, cams[l], lp,
                     active=act & (lvl == l), grad_mode=cfg.grad_mode,
+                    loss=lloss,
                 )
                 gs = sysm.assemble(D, batch.JtJ, batch.Jtr, idx,
                                    act & (lvl == l))
@@ -929,6 +953,11 @@ class Mapper:
         cfg = self.cfg
         dec = self.decoder
         use_rep = cfg.use_reprojection
+        cam0 = self.cam
+        gate_params = ds.SfmParams(
+            huber_delta=cfg.huber_delta, avg_dpt=cfg.avg_dpt,
+            min_dpt=cfg.min_dpt, valid_border=cfg.valid_border,
+        )
         if use_rep:
             from ..features import detector as det
 
@@ -936,7 +965,7 @@ class Mapper:
 
         @functools.partial(jax.jit, static_argnames=("with_code",))
         def build(state, slot, q, t, img_pyr, grad_pyr, code, params,
-                  with_code):
+                  with_code, gate_slot, gate_on):
             CS = cfg.code_size
             img = img_pyr[0]
             if dec is not None:
@@ -948,10 +977,45 @@ class Mapper:
                     # fold the predicted code into prx0 and re-zero (see
                     # build_keyframe_data for the rationale)
                     c = out["code_pred"]
-                    prx0 = tuple(
+                    prx_zero = prx0
+                    prx_pred = tuple(
                         p + jnp.einsum("hwc,c->hw", j, c,
                                        preferred_element_type=jnp.float32)
                         for p, j in zip(prx0, jac)
+                    )
+                    # photometric-error gate (VERDICT r3 next #5): on real
+                    # off-distribution input the predicted code can be
+                    # catastrophically wrong (REALIMG r3: 35x worse than
+                    # zero code). Warp the new keyframe against the current
+                    # keyframe at level 0 under BOTH depth hypotheses and
+                    # keep the prediction only if it warps at least as
+                    # well — a bad prediction can then never make the map
+                    # worse than the unconditional decode.
+                    gs = jnp.clip(gate_slot, 0, cfg.max_keyframes - 1)
+                    lvl0 = state.levels[0]
+                    ref_img = fct.take_rows(lvl0.img, gs[None])[0]
+                    ref_grad = fct.take_rows(lvl0.grad, gs[None])[0]
+                    ref_pose = SE3(state.pose.q[gs], state.pose.t[gs])
+
+                    def lvl0_err(prx):
+                        dpt = (cfg.avg_dpt / jnp.maximum(prx, 1e-4)
+                               - cfg.avg_dpt)
+                        r = ds.sfm_evaluate_error(
+                            SE3(q, t), ref_pose, cam0, img, ref_img, dpt,
+                            jnp.zeros_like(dpt), ref_grad, gate_params,
+                        )
+                        return jnp.where(
+                            r.inliers > 0,
+                            r.residual / jnp.maximum(r.inliers, 1.0),
+                            jnp.inf,
+                        )
+
+                    e_pred = lvl0_err(prx_pred[0])
+                    e_zero = lvl0_err(prx_zero[0])
+                    use_pred = jnp.logical_or(~gate_on, e_pred <= e_zero)
+                    prx0 = tuple(
+                        jnp.where(use_pred, a, b)
+                        for a, b in zip(prx_pred, prx_zero)
                     )
                     kf_code = jnp.zeros((CS,), jnp.float32)
             else:
@@ -1043,10 +1107,15 @@ class Mapper:
             with_code = code is not None
             c = (jnp.asarray(code, jnp.float32) if with_code
                  else jnp.zeros((self.cfg.code_size,), jnp.float32))
+            # prediction gate reference: the newest live keyframe (absent at
+            # bootstrap -> gate off)
+            gate_ref = self.kf_slots[-1] if self.kf_slots else -1
             self.state, _ = self._fused_build_kf_fn()(
                 self.state, jnp.asarray(slot, jnp.int32),
                 jnp.asarray(pose.q), jnp.asarray(pose.t),
                 img_pyr, grad_pyr, c, params, with_code,
+                jnp.asarray(gate_ref, jnp.int32),
+                jnp.asarray(gate_ref >= 0),
             )
         else:
             if pyramids is None:
@@ -1319,12 +1388,17 @@ class Mapper:
                 lvl = state.levels[l]
                 flv = frames_.levels[l]
                 Hh, Ww = lvl.img.shape[1:]
+                if l == 0 and cfg.fine_loss != "huber":
+                    lp, lloss = (params._replace(huber_delta=cfg.tukey_c),
+                                 cfg.fine_loss)
+                else:
+                    lp, lloss = params, "huber"
                 if fct._fused_ok(Hh, Ww):
                     fb = fct.photometric_gram_pools(
-                        pose0, pose1, code0, kfs, fssc, cams[l], params,
+                        pose0, pose1, code0, kfs, fssc, cams[l], lp,
                         lvl.img, lvl.dpt, lvl.jac, flv.img,
                         flv.grad[..., 0], flv.grad[..., 1],
-                        active=m, grad_mode=cfg.grad_mode,
+                        active=m, grad_mode=cfg.grad_mode, loss=lloss,
                     )
                 else:
                     sys_ = ds.sfm_step_batch(
@@ -1336,7 +1410,7 @@ class Mapper:
                         jnp.transpose(fct.take_rows(lvl.jac, kfs),
                                       (0, 2, 3, 1)),
                         fct.take_rows(flv.grad, fssc),
-                        params, grad_mode=cfg.grad_mode,
+                        lp, grad_mode=cfg.grad_mode, loss=lloss,
                     )
                     fb = fct.FactorBatch(sys_.JtJ, sys_.Jtr, sys_.residual,
                                          sys_.inliers)

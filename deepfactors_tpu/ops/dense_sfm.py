@@ -29,7 +29,18 @@ import jax.numpy as jnp
 from ..geometry import se3 as se3m
 from ..geometry import camera as cm
 from ..geometry import warping as wp
-from ..geometry.m_estimators import huber_weight
+from ..geometry.m_estimators import huber_weight, tukey_sqrt_weight
+
+
+def robust_weight(r, delta, loss: str = "huber"):
+    """Square-root IRLS weight by loss name. 'tukey' is REDESCENDING
+    (zero weight beyond delta): occlusion and image-formation outliers stop
+    biasing the photometric equilibrium entirely — use at the finest
+    pyramid level only (MapperConfig.fine_loss), the coarse descent keeps
+    Huber's convergence basin."""
+    if loss == "tukey":
+        return tukey_sqrt_weight(r, delta)
+    return huber_weight(r, delta)
 from ..geometry.se3 import SE3
 from ..geometry.camera import PinholeCamera
 from .image import (
@@ -267,6 +278,7 @@ def sfm_step(
     grad1: Array,     # [H, W, 2] target image gradients
     params: SfmParams,
     grad_mode: str = "sampled",
+    loss: str = "huber",
 ):
     """One SfM linearization: returns (SystemResult [12+CS], valid0 [H,W]).
 
@@ -300,7 +312,7 @@ def sfm_step(
 
     JT = jnp.concatenate([Jp0T, Jp1T, JcT], axis=0)  # [12+CS, N]
     r = img0.reshape(-1) - i1
-    w = huber_weight(r, params.huber_delta)
+    w = robust_weight(r, params.huber_delta, loss)
 
     sys = _masked_system_T(JT, r, w, valid)
     valid0 = valid.reshape(H, W).astype(img0.dtype)
@@ -320,6 +332,7 @@ def sfm_step_batch(
     grad1s: Array,    # [P, H, W, 2]
     params: SfmParams,
     grad_mode: str = "sampled",
+    loss: str = "huber",
 ) -> SystemResult:
     """Batched SfM linearization over P factors.
 
@@ -369,7 +382,7 @@ def sfm_step_batch(
             JcT = err_J_prx[None, :] * jacT
             JT = jnp.concatenate([Jp0T, Jp1T, JcT], axis=0)
             r = img0.reshape(-1) - i1_p
-            w = huber_weight(r, params.huber_delta)
+            w = robust_weight(r, params.huber_delta, loss)
             return _masked_system_T(JT, r, w, warp_p.valid)
 
         return jax.vmap(one)(
@@ -380,7 +393,7 @@ def sfm_step_batch(
 
     def one(q0, t0, q1, t1, c0, img0, img1, dpt0, std0, jac0, grad1):
         sys, _ = sfm_step(SE3(q0, t0), SE3(q1, t1), c0, cam, img0, img1,
-                          dpt0, std0, jac0, grad1, params, grad_mode)
+                          dpt0, std0, jac0, grad1, params, grad_mode, loss)
         return sys
 
     return jax.vmap(one)(

@@ -398,8 +398,16 @@ def _pose_rows(sc, gx, gy, iz, tptx, tpty, tptz):
     return A, (d00, d02, d11, d12)
 
 
-def _huber_wv(r, valid, huber_delta):
-    """Huber weight (m_estimators.h:50-56), zeroed on invalid pixels."""
+def _huber_wv(r, valid, huber_delta, loss: str = "huber"):
+    """Robust sqrt-IRLS weight, zeroed on invalid pixels. 'huber'
+    (m_estimators.h:50-56) for the coarse descent; 'tukey' (redescending
+    biweight, w = max(0, 1-(r/delta)²)) at the finest level so occlusion /
+    image-formation outliers contribute exactly zero instead of Huber's
+    linear tail (4x lower equilibrium bias, measured)."""
+    if loss == "tukey":
+        a = r / huber_delta
+        w = jnp.maximum(0.0, 1.0 - a * a)
+        return jnp.where(valid, w, 0.0)
     aa = jnp.abs(r)
     hub = jnp.sqrt(huber_delta * (2.0 * aa - huber_delta)) / jnp.maximum(
         aa, 1e-12)
@@ -434,7 +442,7 @@ def _accumulate_gram(g_ref, rows, tw, bh=TILE_H):
 
 
 def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int, bh: int,
-                       grad_mode: str, from_prox: bool, *args):
+                       grad_mode: str, from_prox: bool, loss: str, *args):
     """Grid (P, H/bh, W/tw). Accumulates G = B·Bᵀ into g_ref [R, R].
     Inactive pool slots (act_ref[p] == 0) produce a zero G and skip the
     whole VPU-bound body — pools are sized for worst case, so a mapping
@@ -507,7 +515,7 @@ def _sfm_system_kernel(CS: int, band: int, H: int, W: int, tw: int, bh: int,
         err_J_prx = -(gx * pjd0 + gy * pjd1) * dpt_J_prx
 
         r = img0_ref[0] - i1
-        wv = _huber_wv(r, valid, huber_delta)
+        wv = _huber_wv(r, valid, huber_delta, loss)
 
         rows = [wv * a for a in A]
         s = wv * err_J_prx
@@ -533,7 +541,7 @@ def _pick_block_h(H: int, block_h) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("band", "grad_mode", "block_h",
-                                    "interpret"))
+                                    "loss", "interpret"))
 def sfm_gram_batch(
     params: Array,     # [P, PARAM_DIM] per-factor scalars (make_sfm_params)
     src: Array,        # [P] int32 source keyframe slot
@@ -551,6 +559,7 @@ def sfm_gram_batch(
     band: int = 24,
     grad_mode: str = "sampled",
     block_h: int = None,
+    loss: str = "huber",
     interpret: bool = False,
 ) -> Array:
     """Fused SfM linearization: returns the Gram stack G [P, R, R],
@@ -579,7 +588,7 @@ def sfm_gram_batch(
         return (0, 0)
 
     kernel = functools.partial(_sfm_system_kernel, CS, band, H, W, tw, bh,
-                               grad_mode, from_prox)
+                               grad_mode, from_prox, loss)
     in_specs = [
         pl.BlockSpec((P, PARAM_DIM), smem_params,
                      memory_space=pltpu.SMEM),

@@ -73,7 +73,7 @@ def main():
     ap.add_argument("--no-loop-closure", action="store_true",
                     help="disable loop closure (ATE ablation row)")
     ap.add_argument("--max-keyframes", type=int, default=32)
-    ap.add_argument("--dist-threshold", type=float, default=1.2)
+    ap.add_argument("--dist-threshold", type=float, default=2.0)
     # >2π sweep revisits the start; 3.2π puts the revisit gap (~187
     # frames) inside the retained keyframe window so loop closure can fire
     ap.add_argument("--sweep", type=float, default=3.2 * np.pi)

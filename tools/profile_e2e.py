@@ -50,7 +50,7 @@ def main():
         np.savez_compressed(cache, frames=np.stack(frames))
 
     df = build_system(cam, H, W, decoder, max_keyframes=10,
-                      dist_threshold=1.2)
+                      dist_threshold=2.0)
     if args.no_loop:
         df.loop_detector = None
     df.bootstrap_two_frames(frames[0], frames[2])
