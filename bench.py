@@ -70,6 +70,10 @@ def bench_ba(cam, n_kf=5, max_factors=16, n_iters=100):
         height=H, width=W, pyramid_levels=L, pho_iters=(4, 8, 15),
         connection_mode="LASTN", max_back_connections=2, use_schur=True,
         relin_threshold=0.0,  # benchmark: never early-exit
+        # this metric times the dense photometric BA kernel specifically
+        # (cross-round comparable); the flagship e2e config runs with
+        # reprojection on (reference common.flags:18) and has its own rows
+        use_reprojection=False,
     )
     ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
 
@@ -182,7 +186,7 @@ def bench_tracking(cam, m):
 
 
 def bench_e2e(cam, decoder, n_frames=120, loop_closure=True,
-              oracle=False):
+              oracle=False, use_reprojection=True):
     """Short-form end-to-end run (tools/bench_e2e.py is the long form).
     oracle=True swaps in the GT-depth OracleDecoder — the solver/tracker
     error floor with decoder error removed (the promised oracle row,
@@ -204,7 +208,9 @@ def bench_e2e(cam, decoder, n_frames=120, loop_closure=True,
     # fewer keyframe links also accumulate less per-link photometric bias
     # (measured: oracle ATE 0.069 -> 0.050 on the CPU-scale repro)
     df = build_system(cam, H, W, decoder, max_keyframes=10,
-                      dist_threshold=2.0, loop_closure=loop_closure)
+                      dist_threshold=2.0, loop_closure=loop_closure,
+                      use_reprojection=use_reprojection)
+    df.prewarm()   # compile every event variant before the timed run
     df.bootstrap_two_frames(frames[0], frames[2])
     df.trajectory = [(0.0, df.pose_wc)]
     warm = 10
@@ -279,6 +285,12 @@ def main():
     except Exception as e:
         print(f"no-loop e2e failed: {e!r}", file=sys.stderr)
         ate_noloop = None
+    try:
+        norep = bench_e2e(cam, decoder, use_reprojection=False)
+        ate_norep, fps_norep = norep["ate"], norep["fps"]
+    except Exception as e:
+        print(f"no-rep e2e failed: {e!r}", file=sys.stderr)
+        ate_norep = fps_norep = None
 
     print(f"factors={n_factors} track_fps={track_fps:.1f} "
           f"kf_per_s={kf_per_s} e2e_fps={e2e_fps} ate={ate_m} "
@@ -316,6 +328,12 @@ def main():
                              if ate_oracle is not None else None),
             "ate_no_loop_closure_m": (round(ate_noloop, 4)
                                       if ate_noloop is not None else None),
+            # reprojection-factor ablation (VERDICT r3 next #8; flagship
+            # runs rep ON per reference common.flags:18)
+            "ate_no_rep_m": (round(ate_norep, 4)
+                             if ate_norep is not None else None),
+            "e2e_fps_no_rep": (round(fps_norep, 2)
+                               if fps_norep is not None else None),
             "e2e_keyframes": e2e.get("n_kf"),
             "e2e_evicted": e2e.get("n_evicted"),
             # coverage honesty (VERDICT r3 weak #2): ATE is only

@@ -136,7 +136,7 @@ def build_system_config(flags: dict, height: int, width: int) -> SystemConfig:
         connection_mode=conn,
         max_back_connections=_get(flags, "max_back_connections", int, 4),
         use_photometric=_get(flags, "use_photometric", bool, True),
-        use_reprojection=_get(flags, "use_reprojection", bool, False),
+        use_reprojection=_get(flags, "use_reprojection", bool, True),
         max_keypoints=_get(flags, "rep_nfeatures", int, 128),
         rep_max_dist=_get(flags, "rep_max_dist", float, 30.0),
         rep_huber=_get(flags, "rep_huber", float, 0.1),

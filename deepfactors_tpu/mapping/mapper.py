@@ -23,6 +23,7 @@ Structure:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Sequence
 
 import jax
@@ -76,10 +77,14 @@ class MapperConfig(NamedTuple):
     grad_mode: str = "interp"
     use_schur: bool = True
     use_photometric: bool = True
-    # reprojection factors (deepfactors_options.h:91-101)
-    use_reprojection: bool = False
+    # reprojection factors (deepfactors_options.h:91-101); default ON to
+    # match the reference's shipped config (common.flags:18)
+    use_reprojection: bool = True
     max_keypoints: int = 128       # detector capacity (rep_nfeatures)
-    max_rep_factors: int = 16
+    # rep factors persist in the graph until their keyframe is evicted
+    # (ISAM2 keeps them forever): worst case max_keyframes * 2 directions *
+    # max_back_connections live at once
+    max_rep_factors: int = 64
     rep_max_dist: float = 30.0     # hamming threshold for match pruning
     rep_huber: float = 0.1
     rep_iters: int = 15
@@ -1168,13 +1173,14 @@ class Mapper:
         slot = self.add_keyframe_to_map(img, pose_init, code,
                                         pyramids_in=pyramids_in)
         self.marginalize_frames()
+        if self.cfg.use_reprojection:
+            # all back-connections in ONE match+RANSAC dispatch
+            self._add_rep_pairs([(slot, back) for back in conns])
         for back in conns:
             last_photo = None
             if self.cfg.use_photometric:
                 last_photo = self._add_photo_pair(slot, back,
                                                   second_removes=True)
-            if self.cfg.use_reprojection:
-                self._add_rep_pair(slot, back)
             if self.cfg.use_geometric:
                 self.sched.add_geo(
                     slot, back, self.cfg.geo_iters,
@@ -1191,34 +1197,73 @@ class Mapper:
             self.cfg.height,
         )
 
-    def _add_rep_pair(self, s0: int, s1: int):
-        """Both-way reprojection works with matching + RANSAC pruning at
-        construction (reprojection_factor.cpp:54-69)."""
+    def _rep_pair_fn(self):
+        """ONE-dispatch both-way match + RANSAC for a keyframe pair.
+
+        The per-direction host path (match dispatch, RANSAC dispatch, then
+        3 separate device_gets) paid ~6 tunnel syncs (~50-70 ms each) per
+        pair — with 2 back-connections that alone billed ~0.5 s per
+        keyframe event. Everything now runs in one jitted call and returns
+        stacked [2, M, ...] arrays for a single device_get."""
+        if getattr(self, "_rep_pair_jit", None) is not None:
+            return self._rep_pair_jit
         from ..features import matching as mt
 
-        for a, b in ((s0, s1), (s1, s0)):
-            desc0 = self.state.kp_desc[a]
-            desc1 = self.state.kp_desc[b]
-            v0 = self.state.kp_valid[a]
-            v1 = self.state.kp_valid[b]
-            m = mt.match(desc0, v0, desc1, v1,
-                         max_dist=int(self.cfg.rep_max_dist))
-            kp0 = self.state.kp_xy[a]
-            kp1 = self.state.kp_xy[b][m.idx1]
-            inl = mt.prune_matches_eight_point(
-                kp0, kp1, m.valid, self.cam, self._next_key(),
-                threshold=self.cfg.rep_ransac_threshold,
-                max_iterations=self.cfg.rep_ransac_maxiters,
-            )
-            mvalid = np.asarray(jax.device_get(m.valid & inl))
+        cfg = self.cfg
+        cam = self.cam
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def pairs(kp_xy, kp_desc, kp_valid, ias, ibs, key, n):
+            def one(ia, ib, k):
+                m = mt.match(kp_desc[ia], kp_valid[ia], kp_desc[ib],
+                             kp_valid[ib], max_dist=int(cfg.rep_max_dist))
+                kp0 = kp_xy[ia]
+                kp1 = kp_xy[ib][m.idx1]
+                inl = mt.prune_matches_eight_point(
+                    kp0, kp1, m.valid, cam, k,
+                    threshold=cfg.rep_ransac_threshold,
+                    max_iterations=cfg.rep_ransac_maxiters,
+                )
+                return kp0, kp1, m.valid & inl
+
+            ks = jax.random.split(key, 2 * n)
+            outs = []
+            for j in range(n):   # both directions of every pair, unrolled
+                outs.append(one(ias[j], ibs[j], ks[2 * j]))
+                outs.append(one(ibs[j], ias[j], ks[2 * j + 1]))
+            return (jnp.stack([o[0] for o in outs]),
+                    jnp.stack([o[1] for o in outs]),
+                    jnp.stack([o[2] for o in outs]))
+
+        self._rep_pair_jit = pairs
+        return pairs
+
+    def _add_rep_pair(self, s0: int, s1: int):
+        self._add_rep_pairs([(s0, s1)])
+
+    def _add_rep_pairs(self, slot_pairs):
+        """Both-way reprojection works with matching + RANSAC pruning at
+        construction (reprojection_factor.cpp:54-69): ALL pairs of a
+        keyframe event run as one fused dispatch + one device_get."""
+        if not slot_pairs:
+            return
+        n = len(slot_pairs)
+        pairs = self._rep_pair_fn()
+        ias = jnp.asarray([a for a, _ in slot_pairs], jnp.int32)
+        ibs = jnp.asarray([b for _, b in slot_pairs], jnp.int32)
+        kp0s, kp1s, valids = (np.asarray(x) for x in jax.device_get(pairs(
+            self.state.kp_xy, self.state.kp_desc, self.state.kp_valid,
+            ias, ibs, self._next_key(), n,
+        )))
+        dirs = []
+        for a, b in slot_pairs:
+            dirs.extend([(a, b), (b, a)])
+        for d, (a, b) in enumerate(dirs):
             # empty-match guard (df_work.cpp:316-347)
-            if mvalid.sum() < 8:
+            if valids[d].sum() < 8:
                 continue
-            self.sched.add_rep(
-                a, b, self.cfg.rep_iters,
-                np.asarray(jax.device_get(kp0)),
-                np.asarray(jax.device_get(kp1)), mvalid,
-            )
+            self.sched.add_rep(a, b, self.cfg.rep_iters,
+                               kp0s[d], kp1s[d], valids[d])
 
     def enqueue_frame(self, img, pose_init: SE3, kf_slot: int,
                       pyramids=None):
@@ -1491,6 +1536,12 @@ class Mapper:
         ])
         rep, geo = self._rep_geo_dev()
         aq, at, aslot = self._anchor_dev()
+        if os.environ.get("DF_LOG_VARIANTS"):
+            import sys as _sys
+
+            print(f"[variant] segs={segs} P={len(pool.active)} "
+                  f"frames={bool(np.any(pool.active & pool.dst_is_frame))}",
+                  file=_sys.stderr, flush=True)
         self.state, self.frames, stats = self._run_segments_fn(
             self.state, self.frames, jnp.asarray(packed),
             rep, geo, self.marginals, self.dprior,
@@ -1542,8 +1593,7 @@ class Mapper:
         anchor = self.kf_slots[0] if self.kf_slots else 0
 
         pool = self._compact_pool()
-        rep = {k: jnp.asarray(v) for k, v in self.rep_pool._asdict().items()}
-        geo = {k: jnp.asarray(v) for k, v in self.geo_pool._asdict().items()}
+        rep, geo = self._rep_geo_dev()
         self.state, self.frames, stats = self._run_fn(
             self.state, self.frames,
             jnp.asarray(pool.src), jnp.asarray(pool.dst),
@@ -1643,24 +1693,22 @@ class Mapper:
         return self._anchor_cache[2]
 
     def _rep_geo_dev(self):
-        """Device copies of the rep/geo factor pools. When both factor
-        types are disabled (the flagship configuration) the pools never
-        change — upload once. When enabled, re-upload per call (the pools
-        are host arrays the scheduler mutates in place)."""
-        if self.cfg.use_reprojection or self.cfg.use_geometric:
-            rep = {k: jnp.asarray(v)
-                   for k, v in self.rep_pool._asdict().items()}
-            geo = {k: jnp.asarray(v)
-                   for k, v in self.geo_pool._asdict().items()}
-            return rep, geo
-        if getattr(self, "_static_repgeo", None) is None:
-            self._static_repgeo = (
-                {k: jnp.asarray(v)
-                 for k, v in self.rep_pool._asdict().items()},
-                {k: jnp.asarray(v)
-                 for k, v in self.geo_pool._asdict().items()},
-            )
-        return self._static_repgeo
+        """Device copies of the rep/geo factor pools, re-uploaded only when
+        the host pools changed (scheduler bumps ``sched.repgeo_version`` on
+        every mutation). The pools are ~10 host arrays; uploading each is
+        its own multi-ms tunnel transfer, and mapping_run runs several
+        times per keyframe event — unconditional re-upload made every
+        descent pay ~20-60 ms of pure transfer when reprojection is on."""
+        ver = getattr(self.sched, "repgeo_version", None)
+        cache = getattr(self, "_repgeo_cache", None)
+        if cache is not None and ver is not None and cache[0] == ver:
+            return cache[1]
+        repgeo = (
+            {k: jnp.asarray(v) for k, v in self.rep_pool._asdict().items()},
+            {k: jnp.asarray(v) for k, v in self.geo_pool._asdict().items()},
+        )
+        self._repgeo_cache = (ver, repgeo)
+        return repgeo
 
     def _pool_buckets(self):
         """FIXED compaction bucket sizes: {8, pow2(max/2), max_factors}.
@@ -1678,6 +1726,81 @@ class Mapper:
         if 8 < half < mf:
             b.add(half)
         return sorted(b)
+
+    def prewarm(self):
+        """Compile every steady-state jit variant up front with masked
+        (all-inactive) inputs, so no keyframe event in the run ever stalls
+        on a compile.
+
+        The variant set is finite and known (measured by DF_LOG_VARIANTS
+        over a full-orbit run): run_segments has ONE canonical segs tuple
+        (the full C2F descent derived from pho_iters) x pool bucket x
+        frame-factor flag; eviction has (P, N, levels) in a handful of
+        power-of-two buckets; frame folding and keyframe build have one
+        variant each. Every call below executes in ~ms on an inactive pool
+        but pays the trace+compile (the first run through the axon tunnel
+        populates the persistent XLA cache; later processes re-trace
+        only)."""
+        cfg = self.cfg
+        L = cfg.pyramid_levels
+        CS = cfg.code_size
+        B = 6 + CS
+        segs = tuple((l, cfg.pho_iters[l] + 1) for l in range(L - 1, -1, -1))
+        rep, geo = self._rep_geo_dev()
+        aq, at, aslot = self._anchor_dev()
+        for P in self._pool_buckets():
+            packed = jnp.zeros((6, P), jnp.int32)
+            for fr_flag in (False, True) if cfg.max_frames else (False,):
+                out = self._run_segments_fn(
+                    self.state, self.frames, packed, rep, geo,
+                    self.marginals, self.dprior, aq, at, aslot,
+                    segs, fr_flag,
+                )
+                jax.block_until_ready(out[2])
+        # keyframe build (predicted-code path) + frame-store write
+        img = jnp.zeros((cfg.height, cfg.width), jnp.float32)
+        img_pyr = tuple(ip.build_pyramid(img, L))
+        grad_pyr = tuple(ip.build_gradient_pyramid(img_pyr))
+        build = self._fused_build_kf_fn()
+        if self.decoder is not None and hasattr(self.decoder, "module"):
+            out = build(self.state, jnp.asarray(0, jnp.int32),
+                        se3m.identity().q, se3m.identity().t,
+                        img_pyr, grad_pyr,
+                        jnp.zeros((CS,), jnp.float32), self.decoder.params,
+                        False, jnp.asarray(0, jnp.int32),
+                        jnp.asarray(False))
+            jax.block_until_ready(out[0].code)
+        # frame marginalization (one variant)
+        if cfg.max_frames:
+            E = cfg.max_frames
+            fold = self._fold_frames_fn()
+            out = fold(self.state, self.frames, self.marginals,
+                       jnp.zeros(E, jnp.int32), jnp.zeros(E, jnp.int32),
+                       jnp.zeros(E, jnp.int32), jnp.zeros(E, bool),
+                       jnp.zeros(E, bool))
+            jax.block_until_ready(out[0].active)
+        # eviction: steady-state (P, N, levels) buckets — a victim with
+        # LASTN back-connections has <=2 neighbors x both ways, factors at
+        # their final level 0 after a finished descent
+        for P, N in ((2, 2), (4, 2), (8, 4)):
+            evict = self._evict_fn(P, N, (0,))
+            out = evict(self.state, self.marginals,
+                        jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32),
+                        jnp.zeros(P, jnp.int32), jnp.zeros(P, bool),
+                        jnp.zeros((P, 12 + CS), jnp.int32),
+                        jnp.zeros(N, jnp.int32), jnp.zeros(N, bool),
+                        jnp.asarray(0, jnp.int32))
+            jax.block_until_ready(out[1])
+        # rep-pair construction (1- and 2-connection events)
+        if cfg.use_reprojection and self.state.kp_desc.shape[1] > 0:
+            for n in (1, 2):
+                pairs = self._rep_pair_fn()
+                out = pairs(self.state.kp_xy, self.state.kp_desc,
+                            self.state.kp_valid,
+                            jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+                            jax.random.PRNGKey(0), n)
+                jax.block_until_ready(out[2])
+        self.update_map()
 
     def has_work(self) -> bool:
         return self.sched.has_work()

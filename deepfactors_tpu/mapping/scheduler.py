@@ -31,6 +31,9 @@ class PyScheduler:
 
         self.cfg = cfg
         self.wm = WorkManager()
+        # bumped on every rep/geo pool mutation: the Mapper caches device
+        # copies of the (host-mutated) pools keyed on this version
+        self.repgeo_version = 0
         self.photo_pool = _empty_pool(cfg.max_factors)
         self.rep_pool = _empty_rep_pool(cfg.max_rep_factors, cfg.max_keypoints)
         self.geo_pool = _empty_geo_pool(cfg.max_geo_factors, cfg.geo_npoints)
@@ -58,11 +61,22 @@ class PyScheduler:
     def add_rep(self, src, dst, iters, kp0, kp1, mvalid):
         from .mapper import RepWork
 
+        self.repgeo_version += 1
+        # replace semantics: a re-linked pair (loop closure re-match)
+        # refreshes the factor instead of leaking a second pool slot
+        for i in range(self.cfg.max_rep_factors):
+            if (self.rep_pool.active[i] and self.rep_pool.src[i] == src
+                    and self.rep_pool.dst[i] == dst):
+                self.rep_pool.active[i] = False
+        for w in list(self.wm.work):
+            if isinstance(w, RepWork) and w.src == src and w.dst == dst:
+                self.wm.work.remove(w)
         return self.wm.add(RepWork(src, dst, kp0, kp1, mvalid, iters))
 
     def add_geo(self, src, dst, iters, points, parent=None):
         from .mapper import GeoWork
 
+        self.repgeo_version += 1
         w = GeoWork(src, dst, points, iters)
         if parent is not None:
             parent.add_child(w)
@@ -73,6 +87,7 @@ class PyScheduler:
     def erase_frame(self, fslot: int):
         from .mapper import PhotoWork
 
+        self.repgeo_version += 1
         for w in list(self.wm.work):
             if isinstance(w, PhotoWork) and w.dst_is_frame and w.dst == fslot:
                 if w.pool_slot is not None:
@@ -88,6 +103,8 @@ class PyScheduler:
         (the WorkManager::Erase analog for keyframes — the reference never
         evicts, see mapper.marginalize_keyframe)."""
         from .mapper import GeoWork, PhotoWork, RepWork
+
+        self.repgeo_version += 1
 
         def touches(w):
             if isinstance(w, PhotoWork):
@@ -152,9 +169,11 @@ class PyScheduler:
                     if w.pool_slot is not None:
                         self.rep_pool.active[w.pool_slot] = False
                         w.pool_slot = None
+                        self.repgeo_version += 1
                     w.active_level = -2
                     continue
                 if w.first:
+                    self.repgeo_version += 1
                     w.first = False
                     w.pool_slot = alloc(self.rep_pool,
                                         self.cfg.max_rep_factors, "rep")
@@ -172,9 +191,11 @@ class PyScheduler:
                     if w.pool_slot is not None:
                         self.geo_pool.active[w.pool_slot] = False
                         w.pool_slot = None
+                        self.repgeo_version += 1
                     w.active_level = -2
                     continue
                 if w.first:
+                    self.repgeo_version += 1
                     w.first = False
                     w.pool_slot = alloc(self.geo_pool,
                                         self.cfg.max_geo_factors, "geo")
@@ -187,6 +208,7 @@ class PyScheduler:
                       and w.pool_slot is not None):
                     self.geo_pool.points[w.pool_slot] = \
                         stochastic_geo_resample()
+                    self.repgeo_version += 1
 
     def budget(self) -> int:
         budgets = [w.iters[w.active_level] + 1 for w in self.wm.work
@@ -247,6 +269,7 @@ class NativeBackend:
 
         self.cfg = cfg
         self.native = native
+        self.repgeo_version = 0
         self.ns = native.NativeScheduler(
             cfg.max_factors, cfg.max_rep_factors, cfg.max_geo_factors
         )
@@ -265,21 +288,26 @@ class NativeBackend:
                                 list(iters), remove_after)
 
     def add_rep(self, src, dst, iters, kp0, kp1, mvalid):
+        self.repgeo_version += 1
+        self.ns.replace_pair(self.native.REP, src, dst)
         wid = self.ns.add_work(self.native.REP, src, dst, False, [iters])
         self._rep_payloads[wid] = (kp0, kp1, mvalid)
         return wid
 
     def add_geo(self, src, dst, iters, points, parent=None):
         pid = parent if isinstance(parent, int) else 0
+        self.repgeo_version += 1
         wid = self.ns.add_work(self.native.GEO, src, dst, False, [iters],
                                parent=pid or 0)
         self._geo_payloads[wid] = points
         return wid
 
     def erase_frame(self, fslot: int):
+        self.repgeo_version += 1
         self.ns.erase_frame(fslot)
 
     def erase_keyframe(self, slot: int):
+        self.repgeo_version += 1
         self.ns.erase_keyframe(slot)
 
     def bookkeeping(self, stochastic_geo_resample=None):
@@ -299,6 +327,7 @@ class NativeBackend:
         for wid in list(self._rep_payloads):
             slot = self.ns.work_slot(wid)
             if slot >= 0:
+                self.repgeo_version += 1
                 kp0, kp1, mvalid = self._rep_payloads.pop(wid)
                 M = kp0.shape[0]
                 self.rep_pool.kp0[slot, :M] = kp0
@@ -308,6 +337,7 @@ class NativeBackend:
         for wid in list(self._geo_payloads):
             slot = self.ns.work_slot(wid)
             if slot >= 0:
+                self.repgeo_version += 1
                 self.geo_pool.points[slot] = self._geo_payloads.pop(wid)
 
     def budget(self) -> int:

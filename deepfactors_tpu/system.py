@@ -120,6 +120,12 @@ class DeepFactors:
         # previous frame's world pose — constant-velocity tracking init
         # (None = no motion history: zero-velocity prediction)
         self._pose_wc_prev: Optional[SE3] = None
+        # velocity reconstructed across a relocalization (see _relocalize):
+        # without it every recovery restarts at zero velocity, fails to
+        # cover the inter-frame motion, and the system ping-pongs
+        # lost -> relocalize -> lost forever at fast pacing
+        self._reloc_vel: Optional[SE3] = None
+        self._last_tracked_nframe = 0
         # coverage counters (bench honesty: an ATE over an unreported
         # subset of frames is not an ATE — VERDICT r3 weak #2)
         self.n_frames = 0             # process_frame calls
@@ -169,6 +175,8 @@ class DeepFactors:
         self.bootstrapped = True
         self.tracking_lost = False
         self._pose_wc_prev = None
+        self._reloc_vel = None
+        self._last_tracked_nframe = self.n_frames
         toc("bootstrap")
 
     def bootstrap_one_frame(self, img):
@@ -250,11 +258,26 @@ class DeepFactors:
         self.tracking_lost = self._check_tracking_lost(probe)
         if self.tracking_lost:
             self._pose_wc_prev = None   # stale velocity would mislead
+            self._reloc_vel = None
             self.n_lost_frames += 1
             return
 
-        self._pose_wc_prev = self.pose_wc
+        if self._reloc_vel is not None:
+            # re-seed the constant-velocity chain with the motion estimated
+            # across the relocalization gap: prev2 = cur * vel^-1 makes next
+            # frame's prediction cur * vel instead of zero velocity
+            v = self._reloc_vel
+            p2 = se3m.mul(SE3(jnp.asarray(new_pose_wc.q),
+                              jnp.asarray(new_pose_wc.t)),
+                          se3m.inverse(SE3(jnp.asarray(v.q),
+                                           jnp.asarray(v.t))))
+            self._pose_wc_prev = SE3(*(np.asarray(x) for x in
+                                       jax.device_get((p2.q, p2.t))))
+            self._reloc_vel = None
+        else:
+            self._pose_wc_prev = self.pose_wc
         self.pose_wc = new_pose_wc
+        self._last_tracked_nframe = self.n_frames
         self.trajectory.append((timestamp, new_pose_wc))
         if self.pose_callback:
             self.pose_callback(new_pose_wc)
@@ -388,6 +411,27 @@ class DeepFactors:
         ck = SE3(q[best], t[best])
         wc = se3m.mul(wk, se3m.inverse(
             SE3(jnp.asarray(ck.q), jnp.asarray(ck.t))))
+        # reconstruct the per-frame velocity across the lost gap from the
+        # last tracked pose: a recovery that restarts at zero velocity
+        # cannot cover the inter-frame motion at fast pacing and goes lost
+        # again immediately (lost/relocalize ping-pong, VERDICT r3 next #3)
+        old = self.pose_wc
+        gap = max(1, self.n_frames - self._last_tracked_nframe)
+        self._reloc_vel = None
+        if gap <= 5:
+            rel = se3m.mul(se3m.inverse(SE3(jnp.asarray(old.q),
+                                            jnp.asarray(old.t))), wc)
+            w = se3m.so3_log(rel.q)
+            vq = se3m.so3_exp_quat(w / gap)
+            vw, vt, w = (np.asarray(x) for x in
+                         jax.device_get((vq, rel.t, w)))
+            vt = vt / gap
+            # sanity-clamp: a garbage last-tracked pose must not inject a
+            # wild velocity (> ~0.5 rad or 0.5 m per frame)
+            if (np.isfinite(vt).all() and np.isfinite(vw).all()
+                    and np.linalg.norm(vt) < 0.5
+                    and np.linalg.norm(w) / gap < 0.5):
+                self._reloc_vel = SE3(vw, vt)
         self.pose_wc = SE3(*(np.asarray(x) for x in jax.device_get(
             (wc.q, wc.t))))
         self._set_current_kf(best)
@@ -619,6 +663,61 @@ class DeepFactors:
     def force_frame(self):
         self.force_frame_flag = True
 
+    def prewarm(self):
+        """Compile every per-frame / per-event jit variant before the run
+        (frame step, keyframe build, fused descent x pool buckets, frame
+        fold, eviction, rep matching, relocalization, loop verification) so
+        no runtime frame stalls on a compile. Through the axon tunnel each
+        big-fn compile is 5-20+ s; the reference pays the analogous cost as
+        ahead-of-time CUDA compilation. Results are discarded; the facade
+        state is untouched (all warmed fns are functional)."""
+        m = self.cfg.mapper
+        st = self.mapper.state
+        fsd = self.mapper.frames
+        L = m.pyramid_levels
+        img = np.zeros((m.height, m.width), np.float32)
+        if self.loop_detector is not None:
+            ld = self.loop_detector
+            voc_w, voc_i, db, dbv = (ld.voc.words, ld.voc.idf, ld.db,
+                                     ld.db_valid)
+        else:
+            voc_w, voc_i, db, dbv = self._no_loop_db
+        out = self._frame_fn(
+            img,
+            tuple(st.levels[l].img for l in range(L)),
+            tuple(st.levels[l].dpt for l in range(L)),
+            st.pose.q, st.pose.t, fsd.pose.q, fsd.pose.t,
+            jnp.asarray(0, jnp.int32),
+            se3m.identity().q, se3m.identity().t,
+            se3m.identity().q, se3m.identity().t,
+            voc_w, voc_i, db, dbv,
+        )
+        jax.block_until_ready(out.probe)
+        self.mapper.prewarm()
+        # relocalization (first compiled at the first lost frame otherwise)
+        was_lost = self.tracking_lost
+        pose, kf, dists = self.pose_wc, self.curr_kf, self._last_kf_dists
+        self.tracking_lost = True
+        try:
+            self._relocalize(img)
+        except Exception:
+            pass
+        self.tracking_lost = was_lost
+        self.pose_wc, self.curr_kf, self._last_kf_dists = pose, kf, dists
+        # batched loop verification over the padded candidate set
+        if self.loop_detector is not None:
+            ld = self.loop_detector
+            sims = np.full(m.max_keyframes + ld.A, -np.inf, np.float32)
+            sims[0] = 1.0   # one fake candidate -> padded verify compiles
+            try:
+                ld.detect_loop(
+                    None, None, out.img_pyr, out.grad_pyr,
+                    se3m.identity(), st, list(range(m.max_keyframes)),
+                    sims_np=sims, next_kid=None,
+                )
+            except Exception:
+                pass
+
     def reset(self):
         self.mapper.reset()
         self.tracker.reset()
@@ -631,6 +730,8 @@ class DeepFactors:
         self.loop_links = []
         self._last_kf_dists = None
         self._pose_wc_prev = None
+        self._reloc_vel = None
+        self._last_tracked_nframe = 0
         self.n_frames = 0
         self.n_lost_frames = 0
         self.n_relocalizations = 0

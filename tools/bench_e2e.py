@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 
 def build_system(cam, H, W, decoder, max_keyframes=32,
-                 dist_threshold=2.0, loop_closure=True):
+                 dist_threshold=2.0, loop_closure=True,
+                 use_reprojection=True):
     from deepfactors_tpu.mapping.mapper import MapperConfig
     from deepfactors_tpu.system import DeepFactors, SystemConfig
     from deepfactors_tpu.loop.vocabulary import default_vocabulary
@@ -41,6 +42,7 @@ def build_system(cam, H, W, decoder, max_keyframes=32,
             code_size=32, height=H, width=W, pyramid_levels=3,
             pho_iters=(4, 8, 15), connection_mode="LASTN",
             max_back_connections=2,
+            use_reprojection=use_reprojection,
         ),
         dist_threshold=dist_threshold,
         # the lost check runs BEFORE the keyframe policy each frame
@@ -131,6 +133,7 @@ def main():
     df = build_system(cam, H, W, decoder, args.max_keyframes,
                       args.dist_threshold,
                       loop_closure=not args.no_loop_closure)
+    df.prewarm()   # compile every event variant before the run
     df.bootstrap_two_frames(frames[0], frames[2])
     # timestamps: frame index (the TUM protocol uses seconds; index is fine
     # for ATE association)

@@ -53,6 +53,7 @@ def main():
                       dist_threshold=2.0)
     if args.no_loop:
         df.loop_detector = None
+    df.prewarm()   # compile every event variant before the run
     df.bootstrap_two_frames(frames[0], frames[2])
     df.trajectory = [(0.0, df.pose_wc)]
     warm = max(0, min(10, n - 4))
@@ -66,13 +67,32 @@ def main():
     timing.enable_timing(True)
     # tic/toc prints each pair; swallow the stream, keep the summary
     buf = io.StringIO()
+    per_frame = []
     t0 = time.perf_counter()
     with contextlib.redirect_stdout(buf):
         for i in range(3 + warm, n):
+            tf0 = time.perf_counter()
+            nl0, nr0, nk0 = (df.n_lost_frames, df.n_relocalizations,
+                             len(df.mapper.kf_slots)
+                             + len(df.mapper.archived))
             df.process_frame(float(i), frames[i])
+            per_frame.append((
+                i, (time.perf_counter() - tf0) * 1e3,
+                df.tracker.error, df.n_lost_frames - nl0,
+                df.n_relocalizations - nr0,
+                (len(df.mapper.kf_slots) + len(df.mapper.archived)) - nk0,
+            ))
         jax.block_until_ready(df.mapper.state.pose.t)
     dt = time.perf_counter() - t0
     timing.enable_timing(False)
+    for i, ms, err, lost, reloc, kf in per_frame:
+        tag = ("LOST" if lost else "") + (" RELOC" if reloc else "") + \
+            (" KF" if kf else "")
+        print(f"  frame {i:3d}: {ms:8.1f} ms  err={err:.4f} {tag}",
+              file=sys.stderr)
+    print(f"n_lost={df.n_lost_frames} n_reloc={df.n_relocalizations} "
+          f"tracked={1 - df.n_lost_frames / max(df.n_frames, 1):.3f}",
+          file=sys.stderr)
 
     n_timed = n - 3 - warm
     print(f"{n_timed} frames in {dt:.2f}s = {n_timed / dt:.2f} fps "

@@ -26,22 +26,37 @@ import jax
 import jax.numpy as jnp
 
 
-def build_dataset(rooms, poses_per_room, H, W, cam, seed=0, n_boxes=3):
-    """Pre-render [rooms*poses, H, W] images + depths on device."""
+def build_dataset(rooms, poses_per_room, H, W, cam, seed=0, n_boxes=3,
+                  randomize=False):
+    """Pre-render [rooms*poses, H, W] images + depths on device.
+
+    ``randomize=True`` is the domain-randomization tier (VERDICT r3 next
+    #5): per-room box count 0-5, texture frequency-scale jitter 0.6-1.4,
+    wider camera radius, and camera roll — the geometry/texture axes; the
+    lighting/photometric axes are the train-time image augmentations
+    (``make_augment``)."""
     from deepfactors_tpu.io import synth
     from deepfactors_tpu.geometry.se3 import SE3
 
     rng = np.random.RandomState(seed)
 
-    def random_poses(n):
+    def random_poses(n, r_max=1.2, roll_amp=0.0):
         qs, ts = [], []
         for _ in range(n):
-            r = rng.uniform(0.0, 1.2)
+            r = rng.uniform(0.0, r_max)
             th = rng.uniform(0, 2 * np.pi)
             ts.append([r * np.cos(th), rng.uniform(-0.25, 0.25),
                        r * np.sin(th)])
-            qs.append(synth._np_yaw_pitch_quat(
-                rng.uniform(0, 2 * np.pi), rng.uniform(-0.25, 0.25)))
+            q = synth._np_yaw_pitch_quat(
+                rng.uniform(0, 2 * np.pi), rng.uniform(-0.25, 0.25))
+            if roll_amp > 0.0:
+                # compose a roll about the camera z axis: q * (cr, 0, 0, sr)
+                half = 0.5 * rng.uniform(-roll_amp, roll_amp)
+                cr, sr = np.cos(half), np.sin(half)
+                w, x, y, z = q
+                q = np.array([w * cr - z * sr, x * cr - y * sr,
+                              y * cr + x * sr, z * cr + w * sr], q.dtype)
+            qs.append(q)
         return SE3(jnp.asarray(np.stack(qs), jnp.float32),
                    jnp.asarray(np.asarray(ts, np.float32)))
 
@@ -56,13 +71,55 @@ def build_dataset(rooms, poses_per_room, H, W, cam, seed=0, n_boxes=3):
     CHUNK = 8
     imgs, dpts = [], []
     for r in range(rooms):
-        sc = synth.random_room(seed * 7919 + r, n_boxes)
-        ps = random_poses(poses_per_room)
+        if randomize:
+            nb = int(rng.randint(0, 6))
+            fs = float(rng.uniform(0.6, 1.4))
+            sc = synth.random_room(seed * 7919 + r, nb, freq_scale=fs)
+            ps = random_poses(poses_per_room, r_max=1.6, roll_amp=0.35)
+        else:
+            sc = synth.random_room(seed * 7919 + r, n_boxes)
+            ps = random_poses(poses_per_room)
         for c in range(0, poses_per_room, CHUNK):
             im, dp = render_batch(sc, ps.q[c:c + CHUNK], ps.t[c:c + CHUNK])
             imgs.append(im)
             dpts.append(dp)
     return jnp.concatenate(imgs), jnp.concatenate(dpts)
+
+
+def make_augment(H, W):
+    """Photometric domain randomization, applied to the DECODER/pred-head
+    input only (the encoder + NLL target stay clean): random gamma,
+    contrast/brightness, a smooth illumination ramp, vignetting, sensor
+    noise, and occasional blur. The pred head learns photometric
+    invariance — off-distribution input (REALIMG r3: real frames broke it
+    35x) then extrapolates far less. All ops are shape-static; no conv
+    primitives (unrolled 3x3 binomial, see ops/image)."""
+    from deepfactors_tpu.ops import image as ip
+
+    ys, xs = np.mgrid[0:H, 0:W]
+    ys = jnp.asarray((ys / (H - 1) - 0.5) * 2, jnp.float32)
+    xs = jnp.asarray((xs / (W - 1) - 0.5) * 2, jnp.float32)
+    r2 = xs ** 2 + ys ** 2
+    k3 = jnp.asarray([[1, 2, 1], [2, 4, 2], [1, 2, 1]], jnp.float32) / 16.0
+
+    def augment(img, key):
+        ks = jax.random.split(key, 8)
+        u = lambda k, lo, hi: jax.random.uniform(k, (), minval=lo,
+                                                 maxval=hi)
+        img = jnp.clip(img, 1e-3, 1.0) ** u(ks[0], 0.6, 1.7)   # gamma
+        gain = u(ks[1], 0.7, 1.25)
+        bias = u(ks[2], -0.12, 0.12)
+        ramp = (u(ks[3], -0.25, 0.25) * xs
+                + u(ks[4], -0.25, 0.25) * ys)                  # illumination
+        vig = 1.0 - u(ks[5], 0.0, 0.35) * r2                   # vignette
+        img = (img * gain + bias + ramp) * vig
+        img = img + u(ks[6], 0.0, 0.03) * jax.random.normal(
+            ks[6], img.shape)                                  # sensor noise
+        blur = ip._conv2d_clamped(img, k3)
+        img = jnp.where(jax.random.bernoulli(ks[7], 0.3), blur, img)
+        return jnp.clip(img, 0.0, 1.0)
+
+    return jax.jit(jax.vmap(augment))
 
 
 def main():
@@ -79,6 +136,10 @@ def main():
     ap.add_argument("--distill-w", type=float, default=0.1)
     ap.add_argument("--out", default="data/nets/room256_32")
     ap.add_argument("--log-every", type=int, default=200)
+    ap.add_argument("--randomize", action="store_true",
+                    help="domain randomization: varied geometry/texture "
+                         "scale/camera roll + photometric augmentation of "
+                         "the decoder input (VERDICT r3 next #5)")
     args = ap.parse_args()
 
     from deepfactors_tpu.utils.cache import enable_compilation_cache
@@ -104,9 +165,10 @@ def main():
     print("rendering training set...", flush=True)
     t0 = time.time()
     imgs, dpts = build_dataset(args.rooms, args.poses_per_room, H, W, cam,
-                               seed=0)
+                               seed=0, randomize=args.randomize)
     val_imgs, val_dpts = build_dataset(args.val_rooms, 16, H, W, cam,
-                                       seed=99991)
+                                       seed=99991,
+                                       randomize=args.randomize)
     gts = wp.depth_to_prox(dpts, AVG_DPT)
     n = imgs.shape[0]
     jax.block_until_ready(gts)
@@ -136,10 +198,14 @@ def main():
         idx = jax.random.randint(key, (args.batch,), 0, n)
         return imgs_[idx], gts_[idx]
 
+    aug_fn = make_augment(H, W) if args.randomize else None
+
     t0 = time.time()
     for i in range(args.steps):
-        rng, k1, k2 = jax.random.split(rng, 3)
+        rng, k1, k2, k3 = jax.random.split(rng, 4)
         bi, bg = pick(imgs, gts, k1)
+        if aug_fn is not None:
+            bi = aug_fn(bi, jax.random.split(k3, bi.shape[0]))
         state, loss, aux = step_fn(state, bi, bg, k2)
         if i % args.log_every == 0 or i == args.steps - 1:
             print(f"step {i}: loss={float(loss):.4f} "
