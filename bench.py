@@ -211,7 +211,7 @@ def bench_e2e(cam, decoder, n_frames=120, loop_closure=True,
                       dist_threshold=2.0, loop_closure=loop_closure,
                       use_reprojection=use_reprojection)
     df.prewarm()   # compile every event variant before the timed run
-    df.bootstrap_two_frames(frames[0], frames[2])
+    df.bootstrap_two_frames(frames[0], frames[2], frame_gap=2)
     df.trajectory = [(0.0, df.pose_wc)]
     warm = 10
     for i in range(3, 3 + warm):

@@ -1141,17 +1141,82 @@ class Mapper:
 
     def init_two_frames(self, img0, img1, pose0=None, pose1=None):
         """InitTwoFrames (mapper.cpp:164-189): build both keyframes, connect
-        both ways, optimize until the work queue drains."""
+        both ways, optimize until the work queue drains.
+
+        Unlike the reference (which starts the two-frame BA at identity),
+        the second pose is seeded by a multi-hypothesis dense C2F SE(3)
+        alignment against the first keyframe's decoded depth, with one
+        extra-coarse pyramid level: an identity start diverges beyond a
+        ~10 deg / ~0.15 m baseline (measured: a 24 deg orbit pair converged
+        to a 1.5 m wrong-direction baseline and poisoned the whole run)."""
         self.reset()
         p0 = pose0 if pose0 is not None else se3m.identity()
-        p1 = pose1 if pose1 is not None else se3m.identity()
         s0 = self.add_keyframe_to_map(img0, p0)
+        self.update_map()
+        if pose1 is None:
+            im1 = jnp.asarray(img1, jnp.float32)
+            q, t = self._bootstrap_align_fn()(
+                tuple(self.state.levels[l].img[s0]
+                      for l in range(self.cfg.pyramid_levels)),
+                tuple(self.state.levels[l].dpt[s0]
+                      for l in range(self.cfg.pyramid_levels)),
+                im1,
+            )
+            # pose_ck maps kf0 -> cam1: p1 = p0 * ck^-1
+            p1 = se3m.mul(p0, se3m.inverse(SE3(q, t)))
+        else:
+            p1 = pose1
         s1 = self.add_keyframe_to_map(img1, p1)
         self._anchor_pose = p0
         self._add_photo_pair(s0, s1)
         while self.has_work():
             self.mapping_run()
         return s0, s1
+
+    def _bootstrap_align_fn(self):
+        """Jitted bootstrap aligner: 7 yaw hypotheses x full C2F dense
+        SE(3) GN over (pyramid_levels + 1) levels (the extra coarse level
+        doubles the convergence basin), best-by-error with an inlier floor.
+        One dispatch."""
+        if getattr(self, "_boot_align_jit", None) is not None:
+            return self._boot_align_jit
+        from ..tracking.tracker import TrackerConfig, track_c2f
+
+        L = self.cfg.pyramid_levels
+        L4 = L + 1
+        cams = camera_pyramid(self.cam, L4)
+        tcfg = TrackerConfig(
+            pyramid_levels=L4,
+            iterations_per_level=tuple([12] * (L4 - 1) + [20]),
+            huber_delta=self.cfg.huber_delta,
+        )
+        yaws = jnp.asarray([0.0, 0.15, -0.15, 0.3, -0.3, 0.45, -0.45],
+                           jnp.float32)
+
+        @jax.jit
+        def align(kf_imgs, kf_dpts, img1):
+            kf4 = kf_imgs + (ip.gaussian_blur_down(kf_imgs[-1]),)
+            dp4 = kf_dpts + (ip.gaussian_blur_down(kf_dpts[-1]),)
+            im4 = tuple(ip.build_pyramid(img1, L4))
+            gr4 = tuple(ip.build_gradient_pyramid(im4))
+
+            def try_yaw(yaw):
+                q0 = se3m.so3_exp_quat(
+                    jnp.stack([jnp.zeros_like(yaw), yaw,
+                               jnp.zeros_like(yaw)]))
+                q, t, stats = track_c2f(tcfg, cams, SE3(q0, jnp.zeros(3)),
+                                        kf4, dp4, im4, gr4)
+                return q, t, stats
+
+            qs, ts, st = jax.vmap(try_yaw)(yaws)
+            # st = [inliers, error]: sliver-overlap minima score near-zero
+            # error over their few pixels — require real overlap
+            errs = jnp.where(st[:, 0] > 0.25, st[:, 1], jnp.inf)
+            b = jnp.argmin(errs)
+            return qs[b], ts[b]
+
+        self._boot_align_jit = align
+        return align
 
     def init_one_frame(self, img, pose=None):
         self.reset()
@@ -1782,7 +1847,7 @@ class Mapper:
         # eviction: steady-state (P, N, levels) buckets — a victim with
         # LASTN back-connections has <=2 neighbors x both ways, factors at
         # their final level 0 after a finished descent
-        for P, N in ((2, 2), (4, 2), (8, 4)):
+        for P, N in ((2, 2), (4, 2), (4, 4), (8, 2), (8, 4)):
             evict = self._evict_fn(P, N, (0,))
             out = evict(self.state, self.marginals,
                         jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32),

@@ -42,6 +42,12 @@ class SystemConfig(NamedTuple):
     tracking_huber_delta: float = 0.3
     tracking_error_threshold: float = 0.3
     tracking_dist_threshold: float = 2.0
+    # minimum valid-warp fraction for a pose to count as tracked at all.
+    # The reference checks only error + distance (deepfactors.cpp:852-879),
+    # but a warp with a sliver of overlap can have near-zero residual over
+    # its few surviving pixels — error says "perfect", pose is garbage.
+    # Applies to the lost check AND relocalization acceptance.
+    min_tracking_inliers: float = 0.25
     # keyframe adding (deepfactors_options.h:57-62)
     keyframe_mode: str = "AUTO"           # AUTO | AUTO_COMBINED | NEVER
     inlier_threshold: float = 0.5
@@ -161,20 +167,37 @@ class DeepFactors:
     # bootstrap (deepfactors.cpp:370-443)
     # ------------------------------------------------------------------
 
-    def bootstrap_two_frames(self, img0, img1):
+    def bootstrap_two_frames(self, img0, img1, frame_gap: int = 1):
+        """Two-frame photometric bootstrap. ``frame_gap`` is the number of
+        source-sequence frames between img0 and img1: the estimated
+        baseline seeds the constant-velocity tracking chain (without it the
+        first tracked frame starts at zero velocity and must cover the full
+        inter-frame motion — at fast pacing that is outside the dense
+        C2F basin and the run opens with a tracking loss)."""
         tic("bootstrap")
         s0, s1 = self.mapper.init_two_frames(img0, img1)
         self.mapper.update_map()
         self._set_tracker_keyframe(s1)
         self.curr_kf = s1
-        self.pose_wc = SE3(*(np.asarray(x) for x in jax.device_get(
-            (self.mapper.state.pose.q[s1], self.mapper.state.pose.t[s1]))))
+        p0, p1 = (np.asarray(x) for x in jax.device_get(
+            (self.mapper.state.pose.q[s1], self.mapper.state.pose.t[s1])))
+        self.pose_wc = SE3(p0, p1)
         if self.loop_detector is not None:
             for s in (s0, s1):
                 self._loop_add_keyframe(s)
         self.bootstrapped = True
         self.tracking_lost = False
-        self._pose_wc_prev = None
+        # seed the CV chain with the per-frame bootstrap velocity:
+        # prev2 = cur * vel^-1 so next frame's prediction is cur * vel
+        rel = se3m.mul(se3m.inverse(se3m.index(self.mapper.state.pose, s0)),
+                       se3m.index(self.mapper.state.pose, s1))
+        w = se3m.so3_log(rel.q)
+        g = max(1, int(frame_gap))
+        vel = SE3(se3m.so3_exp_quat(w / g), rel.t / g)
+        p2 = se3m.mul(SE3(jnp.asarray(self.pose_wc.q),
+                          jnp.asarray(self.pose_wc.t)), se3m.inverse(vel))
+        self._pose_wc_prev = SE3(*(np.asarray(x) for x in
+                                   jax.device_get((p2.q, p2.t))))
         self._reloc_vel = None
         self._last_tracked_nframe = self.n_frames
         toc("bootstrap")
@@ -206,6 +229,7 @@ class DeepFactors:
         toc("preprocess")
         self.n_frames += 1
 
+        just_relocalized = False
         if self.tracking_lost:
             tic("relocalize")
             ok = self._relocalize(img)
@@ -215,14 +239,19 @@ class DeepFactors:
                 return          # stay lost; retry next frame
             self.n_relocalizations += 1
             self.tracking_lost = False
+            just_relocalized = True
             # fall through: the normal fused path refines from the
             # relocalized pose and makes this frame's decisions
 
         # keyframe selection BEFORE tracking, from the previous frame's
-        # probe distances (SelectKeyframe, deepfactors.cpp:813-848)
-        newkf = self._select_keyframe()
-        if newkf != self.curr_kf:
-            self._set_current_kf(newkf)
+        # probe distances (SelectKeyframe, deepfactors.cpp:813-848).
+        # Not after a relocalization: the relocalizer just chose the best
+        # keyframe by APPEARANCE; re-selecting by pose distance here can
+        # switch to a different slot and immediately re-lose tracking.
+        if not just_relocalized:
+            newkf = self._select_keyframe()
+            if newkf != self.curr_kf:
+                self._set_current_kf(newkf)
 
         # ONE dispatch: pyramids + track + features + BoW + decision probe;
         # ONE device_get: the packed probe vector
@@ -398,14 +427,33 @@ class DeepFactors:
             tuple(st.levels[l].dpt for l in range(L)),
             img_pyr, grad_pyr, ident.q, ident.t,
         )
-        q, t, err, kq, kt = (np.asarray(a) for a in jax.device_get(
-            (q, t, err, st.pose.q, st.pose.t)))
+        q, t, inl, err, kq, kt = (np.asarray(a) for a in jax.device_get(
+            (q, t, inl, err, st.pose.q, st.pose.t)))
+
+        def d_ck(qr, tr):
+            # pose_distance of the recovered camera-from-keyframe transform:
+            # a REAL relocalization lands NEAR the keyframe it matched; a
+            # sliver-overlap minimum can score tiny error while sitting
+            # meters away, and accepting it re-poisons the trajectory
+            ang = 2.0 * np.arccos(np.clip(abs(float(qr[0])), 0.0, 1.0))
+            return 8.0 * float(np.linalg.norm(tr)) + 3.0 * ang
+
+        def acceptable(e, i, qr, tr):
+            return (np.isfinite(e) and e <= self.cfg.tracking_error_threshold
+                    and i >= self.cfg.min_tracking_inliers
+                    and np.isfinite(tr).all()
+                    and d_ck(qr, tr) <= self.cfg.tracking_dist_threshold)
+
         best, best_err = -1, np.inf
         for s in self.mapper.kf_slots:
-            if np.isfinite(err[s]) and err[s] < best_err:
+            if err[s] < best_err and acceptable(err[s], inl[s], q[s], t[s]):
                 best, best_err = s, float(err[s])
-        if best < 0 or best_err > self.cfg.tracking_error_threshold:
-            return False
+        if best < 0:
+            # no live keyframe matches: try the evicted-keyframe archive
+            # (the live pool only covers the recent past — after a loss the
+            # camera often re-enters territory whose keyframes were long
+            # marginalized out)
+            return self._relocalize_archived(img_pyr, grad_pyr)
         # pose_wc = pose_wk * pose_ck^-1 (host: tiny quaternion math)
         wk = SE3(kq[best], kt[best])
         ck = SE3(q[best], t[best])
@@ -437,6 +485,95 @@ class DeepFactors:
         self._set_current_kf(best)
         self._last_kf_dists = None
         self._pose_wc_prev = None
+        self.tracker.error = best_err
+        return True
+
+    def _arch_reloc(self):
+        """Jitted batched dense verification of a frame against the FULL
+        evicted-keyframe archive (pyramids rebuilt in-jit by blur-down)."""
+        if getattr(self, "_arch_reloc_fn", None) is None:
+            verify = self._reloc_fn
+            L = self.cfg.mapper.pyramid_levels
+            A = self.loop_detector.A
+
+            @jax.jit
+            def arch_verify(arch_img, arch_dpt, cur_imgs, cur_grads):
+                imgs, dpts = [arch_img], [arch_dpt]
+                for _ in range(1, L):
+                    imgs.append(jax.vmap(ip.gaussian_blur_down)(imgs[-1]))
+                    dpts.append(jax.vmap(ip.gaussian_blur_down)(dpts[-1]))
+                ident = se3m.identity((A,))
+                return verify(tuple(imgs), tuple(dpts), cur_imgs,
+                              cur_grads, ident.q, ident.t)
+
+            self._arch_reloc_fn = arch_verify
+        return self._arch_reloc_fn
+
+    def _relocalize_archived(self, img_pyr, grad_pyr) -> bool:
+        """Relocalize against the evicted-keyframe ARCHIVE and resurrect
+        the match into the live pool.
+
+        The live pool covers only the recent past; once tracking is lost
+        the camera usually re-enters territory whose keyframes were long
+        marginalized out, so live-only relocalization can never recover
+        (measured: a mid-orbit loss stayed lost for the rest of the run).
+        The loop detector's archive keeps every evicted keyframe's level-0
+        image/depth + final pose — dense-verify the frame against ALL of
+        them in one batched dispatch; on acceptance re-insert the archived
+        keyframe as a live keyframe at its archived pose, pin it with a
+        pose prior (its factors are long gone — the prior carries its
+        information), and resume tracking from it. The reference never
+        needs this because it keeps every keyframe live in ISAM2 forever."""
+        ld = self.loop_detector
+        if ld is None or ld.A == 0:
+            return False
+        valid = ld.arch_ids >= 0
+        if not valid.any():
+            return False
+        q, t, inl, err = (np.asarray(x) for x in jax.device_get(
+            self._arch_reloc()(ld.arch_img, ld.arch_dpt, img_pyr,
+                               grad_pyr)))
+
+        def d_ck(qr, tr):
+            ang = 2.0 * np.arccos(np.clip(abs(float(qr[0])), 0.0, 1.0))
+            return 8.0 * float(np.linalg.norm(tr)) + 3.0 * ang
+
+        best, best_err = -1, np.inf
+        for a in range(ld.A):
+            if not valid[a]:
+                continue
+            if (err[a] < best_err and np.isfinite(err[a])
+                    and err[a] <= self.cfg.tracking_error_threshold
+                    and inl[a] >= self.cfg.min_tracking_inliers
+                    and np.isfinite(t[a]).all()
+                    and d_ck(q[a], t[a]) <= self.cfg.tracking_dist_threshold):
+                best, best_err = a, float(err[a])
+        if best < 0:
+            return False
+        aq, at_, aimg = (np.asarray(x) for x in jax.device_get(
+            (ld.arch_q[best], ld.arch_t[best], ld.arch_img[best])))
+        wk = SE3(aq, at_)
+        wc = se3m.mul(SE3(jnp.asarray(aq), jnp.asarray(at_)),
+                      se3m.inverse(SE3(jnp.asarray(q[best]),
+                                       jnp.asarray(t[best]))))
+        # resurrect: evict a victim if at capacity, rebuild the keyframe
+        # from the archived image at its archived pose, pin with a prior
+        m = self.mapper
+        if len(m.kf_slots) >= self.cfg.mapper.max_keyframes:
+            m.marginalize_keyframe(m._select_victim())
+        slot = m.add_keyframe_to_map(aimg, wk)
+        m.add_loop_prior(slot, wk, sigma=self.cfg.loop_sigma)
+        if self.loop_detector is not None:
+            self._loop_add_keyframe(slot)
+            # the live row supersedes the archive row
+            ld.arch_ids[best] = -1
+            ld.db_valid = ld.db_valid.at[ld.K + best].set(False)
+        self.pose_wc = SE3(*(np.asarray(x) for x in jax.device_get(
+            (wc.q, wc.t))))
+        self._set_current_kf(slot)
+        self._last_kf_dists = None
+        self._pose_wc_prev = None
+        self._reloc_vel = None
         self.tracker.error = best_err
         return True
 
@@ -532,7 +669,9 @@ class DeepFactors:
                          or err > self.cfg.tracking_error_threshold)
         kf_too_far = (not np.isfinite(dist)
                       or dist > self.cfg.tracking_dist_threshold)
-        return bool(error_too_big or kf_too_far)
+        low_overlap = (float(probe["inliers"])
+                       < self.cfg.min_tracking_inliers)
+        return bool(error_too_big or kf_too_far or low_overlap)
 
     # ------------------------------------------------------------------
     # keyframe / frame policies (deepfactors.cpp:747-809)
@@ -704,6 +843,14 @@ class DeepFactors:
             pass
         self.tracking_lost = was_lost
         self.pose_wc, self.curr_kf, self._last_kf_dists = pose, kf, dists
+        # archive relocalization (batched verify over the full archive)
+        if self.loop_detector is not None and self.loop_detector.A:
+            ld = self.loop_detector
+            pyrs = tuple(ip.build_pyramid(jnp.asarray(img),
+                                          self.cfg.mapper.pyramid_levels))
+            grads = tuple(ip.build_gradient_pyramid(pyrs))
+            out2 = self._arch_reloc()(ld.arch_img, ld.arch_dpt, pyrs, grads)
+            jax.block_until_ready(out2[0])
         # batched loop verification over the padded candidate set
         if self.loop_detector is not None:
             ld = self.loop_detector

@@ -120,12 +120,20 @@ def test_nonfinite_tracking_declared_lost():
 
     fake = types.SimpleNamespace(
         cfg=types.SimpleNamespace(tracking_error_threshold=0.5,
-                                  tracking_dist_threshold=2.0),
+                                  tracking_dist_threshold=2.0,
+                                  min_tracking_inliers=0.25),
         curr_kf=0,
     )
     check = DeepFactors._check_tracking_lost
-    ok = {"error": 0.1, "d_full": np.array([0.3])}
+    ok = {"error": 0.1, "d_full": np.array([0.3]), "inliers": 0.9}
     assert not check(fake, ok)
-    assert check(fake, {"error": float("nan"), "d_full": np.array([0.3])})
-    assert check(fake, {"error": 0.1, "d_full": np.array([float("nan")])})
-    assert check(fake, {"error": float("inf"), "d_full": np.array([0.3])})
+    assert check(fake, {"error": float("nan"), "d_full": np.array([0.3]),
+                        "inliers": 0.9})
+    assert check(fake, {"error": 0.1, "d_full": np.array([float("nan")]),
+                        "inliers": 0.9})
+    assert check(fake, {"error": float("inf"), "d_full": np.array([0.3]),
+                        "inliers": 0.9})
+    # a sliver-overlap warp can have near-zero error over its few pixels:
+    # low valid fraction must read as lost even with perfect error
+    assert check(fake, {"error": 0.0, "d_full": np.array([0.3]),
+                        "inliers": 0.05})

@@ -134,7 +134,7 @@ def main():
                       args.dist_threshold,
                       loop_closure=not args.no_loop_closure)
     df.prewarm()   # compile every event variant before the run
-    df.bootstrap_two_frames(frames[0], frames[2])
+    df.bootstrap_two_frames(frames[0], frames[2], frame_gap=2)
     # timestamps: frame index (the TUM protocol uses seconds; index is fine
     # for ATE association)
     df.trajectory = [(0.0, df.pose_wc)]

@@ -24,6 +24,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--no-rep", action="store_true")
     args = ap.parse_args()
 
     from deepfactors_tpu.utils.cache import enable_compilation_cache
@@ -50,11 +51,12 @@ def main():
         np.savez_compressed(cache, frames=np.stack(frames))
 
     df = build_system(cam, H, W, decoder, max_keyframes=10,
-                      dist_threshold=2.0)
+                      dist_threshold=2.0,
+                      use_reprojection=not args.no_rep)
     if args.no_loop:
         df.loop_detector = None
     df.prewarm()   # compile every event variant before the run
-    df.bootstrap_two_frames(frames[0], frames[2])
+    df.bootstrap_two_frames(frames[0], frames[2], frame_gap=2)
     df.trajectory = [(0.0, df.pose_wc)]
     warm = max(0, min(10, n - 4))
     if n - 3 - warm < 1:
