@@ -227,16 +227,25 @@ class PyScheduler:
 
     def fused_sig(self):
         """Shared-schedule signature for the single-dispatch C2F descent:
-        (active_level, iters, orig_iters) when ALL outstanding works are
-        plain photometric works sharing one schedule state, else None."""
-        from .mapper import PhotoWork
+        (active_level, iters, orig_iters) when every outstanding PHOTO work
+        shares one schedule state, else None. Rep/geo works ride along:
+        their pool factors are applied inside every fused GN iteration
+        anyway (gn_iteration assembles the rep/geo pools unconditionally),
+        so they only need their schedules ticked by the host replay —
+        without this, a single reprojection work forced every keyframe
+        event onto the slow multi-dispatch fallback path."""
+        from .mapper import GeoWork, PhotoWork, RepWork
 
         works = self.wm.work
         if not works:
             return None
         sig = None
         for w in works:
-            if type(w) is not PhotoWork or w.child is not None or w.remove:
+            if w.child is not None or w.remove:
+                return None
+            if type(w) is not PhotoWork:
+                if isinstance(w, (RepWork, GeoWork)):
+                    continue
                 return None
             s = (w.active_level, tuple(w.iters), tuple(w.orig_iters))
             if sig is None:
@@ -248,9 +257,11 @@ class PyScheduler:
     def descent_slots(self) -> np.ndarray:
         """Photo-pool slots owned by live works (the descending factor set
         for run_segments' pool_descent mask)."""
+        from .mapper import PhotoWork
+
         out = np.zeros(self.cfg.max_factors, bool)
         for w in self.wm.work:
-            if w.pool_slot is not None:
+            if isinstance(w, PhotoWork) and w.pool_slot is not None:
                 out[w.pool_slot] = True
         return out
 

@@ -265,7 +265,11 @@ int32_t df_sched_fused_sig(void* h, int32_t* out) {
   if (s->work.empty() || !s->pending_children.empty()) return 0;
   const Work* w0 = nullptr;
   for (auto& w : s->work) {
-    if (w.kind != PHOTO || w.remove || w.child > 0) return 0;
+    if (w.remove || w.child > 0) return 0;
+    // rep/geo works ride along with the photo descent: their pool factors
+    // are applied inside every fused GN iteration; only photo works must
+    // share one schedule state
+    if (w.kind != PHOTO) continue;
     if (!w0) {
       w0 = &w;
       continue;
