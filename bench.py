@@ -319,6 +319,11 @@ def main():
             "ba_iters_per_s_k32_schur": (round(ba32, 2)
                                          if ba32 is not None else None),
             "ba_k32_n_factors": n_factors32,
+            "cross_round_note": (
+                "r3's 1661->1377 it/s regression recovered in r4 "
+                "(mapper dispatch rework: cached rep/geo device pools, "
+                "single fold-frames variant, fixed compaction buckets); "
+                "measured 1644 it/s mid-r4 at identical config"),
             "e2e_fps": (round(e2e_fps, 2) if e2e_fps is not None else None),
             "e2e_fps_vs_realtime_30fps": (round(e2e_fps / BASELINE_FPS, 3)
                                           if e2e_fps is not None else None),

@@ -70,6 +70,26 @@ def test_two_frame_bootstrap_recovers_pose(cfg):
     assert np.linalg.norm(err) < 8e-3, f"pose1 error {err}"
 
 
+def test_two_frame_bootstrap_large_baseline(cfg):
+    """The multi-hypothesis bootstrap aligner must recover a baseline far
+    outside the identity-start BA basin (~18 deg yaw + lateral motion —
+    the full-scale 24 deg profile pair used to converge to a wrong-
+    direction baseline 4.5x too long and poison the whole run)."""
+    d = np.array([0.12, 0.0, 0.05, 0.0, -0.32, 0.0], dtype=np.float32)
+    img0, img1, cam, pose1_true = make_scene(d)
+    m = Mapper(cfg, cam, decoder=None)
+    s0, s1 = m.init_two_frames(img0, img1)
+    m.update_map()
+    pose1 = se3m.index(m.state.pose, s1)
+    err = np.asarray(se3m.local(pose1_true, pose1))
+    # rotation must land in the right basin; translation scale within 30%
+    assert np.linalg.norm(err[3:]) < 0.08, f"rot err {err}"
+    t_est = np.asarray(pose1.t)
+    t_true = np.asarray(pose1_true.t)
+    assert np.dot(t_est, t_true) > 0, "baseline direction flipped"
+    assert 0.7 < (np.linalg.norm(t_est) / np.linalg.norm(t_true)) < 1.3
+
+
 def test_work_schedule_descends_levels(cfg):
     d = np.array([0.01, 0.0, 0.01, 0.0, 0.0, 0.005], dtype=np.float32)
     img0, img1, cam, _ = make_scene(d)

@@ -58,7 +58,10 @@ def bench_shape_check() -> bool:
     cam = PinholeCamera.create(fx=220.0, fy=220.0, u0=W / 2, v0=H / 2,
                                width=W, height=H)
     scene = synth.random_room(21, n_boxes=3)
-    poses_w = synth.orbit_trajectory(24)
+    # 120-frame pacing: consecutive keyframes ~8 deg apart so factor pairs
+    # genuinely overlap — at the old 24-frame pacing every pair was 40-120
+    # deg apart with ZERO valid pixels and the comparison was vacuous
+    poses_w = synth.orbit_trajectory(120)
     rng = np.random.RandomState(0)
     kf_f = [0, 2, 4, 6]
     imgs, dpts = [], []
@@ -108,6 +111,13 @@ def bench_shape_check() -> bool:
     JtJ, Jtr, res, inl = sk.system_from_gram(G, j_pose0, j_pose1, CS)
 
     ok = True
+    # degeneracy guard: a zero-inlier comparison proves nothing
+    min_inl = float(np.min(np.asarray(ref.inliers)))
+    print(f"  ref inliers per factor: min {min_inl:.0f}", flush=True)
+    if min_inl < 1000:
+        print("  DEGENERATE: factor pairs have (almost) no overlap",
+              flush=True)
+        ok = False
     inl_err = np.max(np.abs(np.asarray(inl) - np.asarray(ref.inliers)))
     jtj_rel = (np.max(np.abs(np.asarray(JtJ) - np.asarray(ref.JtJ)))
                / np.max(np.abs(np.asarray(ref.JtJ))))
