@@ -133,6 +133,7 @@ def bench_keyframes(cam, decoder):
                        pho_iters=(2, 2, 2), connection_mode="LASTN",
                        max_back_connections=2)
     m = Mapper(cfg, cam, decoder=decoder)
+    m.prewarm()
     scene = synth.random_room(3)
     views = synth.orbit_trajectory(24)
     imgs = synth.render_sequence(scene, cam, views, H, W)

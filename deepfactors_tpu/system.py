@@ -61,6 +61,12 @@ class SystemConfig(NamedTuple):
     loop_sigma: float = 1.0
     loop_min_similarity: float = 0.35
     loop_max_candidates: int = 10
+    # frames to wait after an ACCEPTED global loop before detecting again:
+    # consecutive frames in a revisit all match the same archived target,
+    # and re-firing every frame stacks near-duplicate pose priors + window
+    # re-optimizations (measured: 22 accepted loops in a 104-frame orbit)
+    # for no extra trajectory information
+    loop_cooldown: int = 5
     loop_archive_cap: int = 64    # evicted-kf archive (0 disables)
     # mapping
     interleave_mapping: bool = False
@@ -132,6 +138,7 @@ class DeepFactors:
         # lost -> relocalize -> lost forever at fast pacing
         self._reloc_vel: Optional[SE3] = None
         self._last_tracked_nframe = 0
+        self._last_loop_nframe = -10**9
         # coverage counters (bench honesty: an ATE over an unreported
         # subset of frames is not an ATE — VERDICT r3 weak #2)
         self.n_frames = 0             # process_frame calls
@@ -744,6 +751,9 @@ class DeepFactors:
         # global loop: reprojection link (deepfactors.cpp:263-280) — BoW
         # similarities come from the probe; only a passing candidate costs
         # the dense-verification round trip
+        if (self.n_frames - self._last_loop_nframe
+                <= self.cfg.loop_cooldown):
+            return
         res = self.loop_detector.detect_loop(
             cur_feat.descriptor, cur_feat.valid, img_pyr, grad_pyr,
             self.pose_wc, st, self.mapper.kf_slots,
@@ -751,10 +761,12 @@ class DeepFactors:
         )
         if res.detected and res.archived_idx >= 0:
             self._archived_loop(res)
+            self._last_loop_nframe = self.n_frames
         elif res.detected and not self._link_exists(self.curr_kf, res.slot):
             self.mapper.enqueue_link(self.curr_kf, res.slot, photo=False,
                                      rep=True)
             self.loop_links.append((self.curr_kf, res.slot))
+            self._last_loop_nframe = self.n_frames
 
     def _archived_loop(self, res):
         """Close a loop against an ARCHIVED (evicted) keyframe: the verified
@@ -879,6 +891,7 @@ class DeepFactors:
         self._pose_wc_prev = None
         self._reloc_vel = None
         self._last_tracked_nframe = 0
+        self._last_loop_nframe = -10**9
         self.n_frames = 0
         self.n_lost_frames = 0
         self.n_relocalizations = 0

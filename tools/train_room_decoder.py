@@ -73,9 +73,9 @@ def build_dataset(rooms, poses_per_room, H, W, cam, seed=0, n_boxes=3,
     for r in range(rooms):
         if randomize:
             nb = int(rng.randint(0, 6))
-            fs = float(rng.uniform(0.6, 1.4))
+            fs = float(rng.uniform(0.7, 1.3))
             sc = synth.random_room(seed * 7919 + r, nb, freq_scale=fs)
-            ps = random_poses(poses_per_room, r_max=1.6, roll_amp=0.35)
+            ps = random_poses(poses_per_room, r_max=1.5, roll_amp=0.25)
         else:
             sc = synth.random_room(seed * 7919 + r, n_boxes)
             ps = random_poses(poses_per_room)
@@ -106,17 +106,20 @@ def make_augment(H, W):
         ks = jax.random.split(key, 8)
         u = lambda k, lo, hi: jax.random.uniform(k, (), minval=lo,
                                                  maxval=hi)
-        img = jnp.clip(img, 1e-3, 1.0) ** u(ks[0], 0.6, 1.7)   # gamma
-        gain = u(ks[1], 0.7, 1.25)
-        bias = u(ks[2], -0.12, 0.12)
-        ramp = (u(ks[3], -0.25, 0.25) * xs
-                + u(ks[4], -0.25, 0.25) * ys)                  # illumination
-        vig = 1.0 - u(ks[5], 0.0, 0.35) * r2                   # vignette
+        # mild ranges: the first (aggressive) tier tripled the IN-domain
+        # depth error — the augmentation must widen the input distribution
+        # without drowning the brightness-to-depth cues the decoder uses
+        img = jnp.clip(img, 1e-3, 1.0) ** u(ks[0], 0.75, 1.4)  # gamma
+        gain = u(ks[1], 0.8, 1.2)
+        bias = u(ks[2], -0.08, 0.08)
+        ramp = (u(ks[3], -0.15, 0.15) * xs
+                + u(ks[4], -0.15, 0.15) * ys)                  # illumination
+        vig = 1.0 - u(ks[5], 0.0, 0.25) * r2                   # vignette
         img = (img * gain + bias + ramp) * vig
-        img = img + u(ks[6], 0.0, 0.03) * jax.random.normal(
+        img = img + u(ks[6], 0.0, 0.02) * jax.random.normal(
             ks[6], img.shape)                                  # sensor noise
         blur = ip._conv2d_clamped(img, k3)
-        img = jnp.where(jax.random.bernoulli(ks[7], 0.3), blur, img)
+        img = jnp.where(jax.random.bernoulli(ks[7], 0.2), blur, img)
         return jnp.clip(img, 0.0, 1.0)
 
     return jax.jit(jax.vmap(augment))
@@ -212,6 +215,12 @@ def main():
                   f"nll={float(aux['nll']):.4f} kl={float(aux['kl']):.2f} "
                   f"distill={float(aux['distill']):.3f} "
                   f"({(time.time() - t0):.0f}s)", flush=True)
+        # crash-safe periodic checkpoint (a TPU-worker crash at step 13k
+        # once cost the whole run — weights only saved at the end)
+        if i > 0 and i % 4000 == 0:
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            save_params(args.out + ".ckpt.pkl",
+                        extract_decoder_params(state.params))
 
     dec_params = extract_decoder_params(state.params)
     decoder = Decoder(cfg, params=dec_params)
