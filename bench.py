@@ -32,14 +32,20 @@ BASELINE_FPS = 30.0        # reference "interactive real-time" claim
 
 
 def load_decoder():
-    """Room-trained decoder if present, else the older synthetic one, else
-    None (BA kernel cost is shape-identical either way)."""
+    """Decoder for the synthetic-room bench domain: the room-trained
+    weights (room256_32). The domain-randomized room256_32v2 weights are
+    the REAL-imagery set (tools/real_image_eval.py, data/REALIMG.json) —
+    they trade in-domain accuracy for off-distribution robustness
+    (measured: bench ATE 0.094 vs 0.35, REALIMG pred-code 1.23 m vs 54 m),
+    mirroring the reference's per-dataset shipped networks
+    (scripts/download_network.bash fetches ScanNet weights for ScanNet
+    evaluation)."""
     from deepfactors_tpu.models.decoder import (Decoder, NetworkConfig,
                                                 load_params)
 
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "data", "nets")
-    for name in ("room256_32v2", "room256_32", "synthetic256_32"):
+    for name in ("room256_32", "room256_32v2", "synthetic256_32"):
         p = os.path.join(base, name)
         if os.path.exists(p + ".pkl"):
             with open(p + ".json") as f:

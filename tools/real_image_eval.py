@@ -300,6 +300,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="data/REALIMG.json")
+    ap.add_argument("--decoder", default="data/nets/room256_32v2",
+                    help="domain-randomized weights: the real-imagery set "
+                         "(the in-domain room256_32 weights predict "
+                         "catastrophically off-distribution)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -308,9 +312,20 @@ def main():
     from deepfactors_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     sys.path.insert(0, "/root/repo")
-    from bench import load_decoder
+    import json as js
 
-    decoder, dec_name = load_decoder()
+    from deepfactors_tpu.models.decoder import (Decoder, NetworkConfig,
+                                                load_params)
+
+    nj = js.load(open(args.decoder + ".json"))
+    ncfg = NetworkConfig(
+        code_size=nj["code_size"], pyramid_levels=nj["pyramid_levels"],
+        input_width=nj["input_width"], input_height=nj["input_height"],
+        avg_dpt=nj["avg_dpt"], base_ch=nj.get("base_ch", 32),
+        pred_head=nj.get("pred_head", "gap"),
+    )
+    decoder = Decoder(ncfg, params=load_params(args.decoder + ".pkl"))
+    dec_name = os.path.basename(args.decoder)
     data = load_remapped()
 
     print("[1/4] decoder depth RMSE on real images...", flush=True)
