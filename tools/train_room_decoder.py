@@ -86,7 +86,7 @@ def build_dataset(rooms, poses_per_room, H, W, cam, seed=0, n_boxes=3,
     return jnp.concatenate(imgs), jnp.concatenate(dpts)
 
 
-def make_augment(H, W):
+def make_augment(H, W, strength="mild"):
     """Photometric domain randomization, applied to the DECODER/pred-head
     input only (the encoder + NLL target stay clean): random gamma,
     contrast/brightness, a smooth illumination ramp, vignetting, sensor
@@ -101,25 +101,28 @@ def make_augment(H, W):
     xs = jnp.asarray((xs / (W - 1) - 0.5) * 2, jnp.float32)
     r2 = xs ** 2 + ys ** 2
     k3 = jnp.asarray([[1, 2, 1], [2, 4, 2], [1, 2, 1]], jnp.float32) / 16.0
+    # strong = the real-imagery tier (REALIMG): widest photometric
+    # randomization, costs in-domain accuracy; mild = balanced tier
+    A = (dict(gamma=(0.6, 1.7), gain=(0.7, 1.25), bias=0.12, ramp=0.25,
+              vig=0.35, noise=0.03, blur_p=0.3) if strength == "strong"
+         else dict(gamma=(0.75, 1.4), gain=(0.8, 1.2), bias=0.08,
+                   ramp=0.15, vig=0.25, noise=0.02, blur_p=0.2))
 
     def augment(img, key):
         ks = jax.random.split(key, 8)
         u = lambda k, lo, hi: jax.random.uniform(k, (), minval=lo,
                                                  maxval=hi)
-        # mild ranges: the first (aggressive) tier tripled the IN-domain
-        # depth error — the augmentation must widen the input distribution
-        # without drowning the brightness-to-depth cues the decoder uses
-        img = jnp.clip(img, 1e-3, 1.0) ** u(ks[0], 0.75, 1.4)  # gamma
-        gain = u(ks[1], 0.8, 1.2)
-        bias = u(ks[2], -0.08, 0.08)
-        ramp = (u(ks[3], -0.15, 0.15) * xs
-                + u(ks[4], -0.15, 0.15) * ys)                  # illumination
-        vig = 1.0 - u(ks[5], 0.0, 0.25) * r2                   # vignette
+        img = jnp.clip(img, 1e-3, 1.0) ** u(ks[0], *A["gamma"])
+        gain = u(ks[1], *A["gain"])
+        bias = u(ks[2], -A["bias"], A["bias"])
+        ramp = (u(ks[3], -A["ramp"], A["ramp"]) * xs
+                + u(ks[4], -A["ramp"], A["ramp"]) * ys)        # illumination
+        vig = 1.0 - u(ks[5], 0.0, A["vig"]) * r2               # vignette
         img = (img * gain + bias + ramp) * vig
-        img = img + u(ks[6], 0.0, 0.02) * jax.random.normal(
+        img = img + u(ks[6], 0.0, A["noise"]) * jax.random.normal(
             ks[6], img.shape)                                  # sensor noise
         blur = ip._conv2d_clamped(img, k3)
-        img = jnp.where(jax.random.bernoulli(ks[7], 0.2), blur, img)
+        img = jnp.where(jax.random.bernoulli(ks[7], A["blur_p"]), blur, img)
         return jnp.clip(img, 0.0, 1.0)
 
     return jax.jit(jax.vmap(augment))
@@ -139,6 +142,8 @@ def main():
     ap.add_argument("--distill-w", type=float, default=0.1)
     ap.add_argument("--out", default="data/nets/room256_32")
     ap.add_argument("--log-every", type=int, default=200)
+    ap.add_argument("--aug-strength", default="mild",
+                    choices=("mild", "strong"))
     ap.add_argument("--randomize", action="store_true",
                     help="domain randomization: varied geometry/texture "
                          "scale/camera roll + photometric augmentation of "
@@ -201,7 +206,8 @@ def main():
         idx = jax.random.randint(key, (args.batch,), 0, n)
         return imgs_[idx], gts_[idx]
 
-    aug_fn = make_augment(H, W) if args.randomize else None
+    aug_fn = (make_augment(H, W, args.aug_strength)
+              if args.randomize else None)
 
     t0 = time.time()
     for i in range(args.steps):
