@@ -83,8 +83,10 @@ class MapperConfig(NamedTuple):
     max_keypoints: int = 128       # detector capacity (rep_nfeatures)
     # rep factors persist in the graph until their keyframe is evicted
     # (ISAM2 keeps them forever): worst case max_keyframes * 2 directions *
-    # max_back_connections live at once
-    max_rep_factors: int = 64
+    # max_back_connections live at once, plus loop links. 0 = derive that
+    # worst case from the config at Mapper construction (an explicit value
+    # is honored as-is — tests/benches pin shapes with it)
+    max_rep_factors: int = 0
     rep_max_dist: float = 30.0     # hamming threshold for match pruning
     rep_huber: float = 0.1
     rep_iters: int = 15
@@ -479,11 +481,12 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
         # Schur requires block-diagonal code blocks: the sparse geometric
         # factor couples code0-code1 across keyframes, so fall back to the
         # dense solve when it is enabled (sparse_geometric_factor.cpp).
-        # Size heuristic (measured on v5e): one dense Cholesky beats the
-        # batched-small-Cholesky Schur pipeline below ~256 variables — both
-        # are latency-dominated, and the Schur path pays several sequential
-        # small solves. Large windows (and the distributed path) use Schur.
-        if cfg.use_schur and not cfg.use_geometric and D > 256:
+        # Crossover (measured on v5e, SCHUR_CROSSOVER.md): Schur's batched
+        # small-Cholesky pipeline beats one dense Cholesky from D ≈ 150
+        # upward (37 µs vs 62 µs at the K=5/D=196 headline window; larger
+        # at K=32). Below that the dense solve's single latency-dominated
+        # call wins.
+        if cfg.use_schur and not cfg.use_geometric and D > 150:
             delta = sysm.solve_schur_codes(gsys, K, CS, lam)
         else:
             delta = sysm.solve_damped(gsys, lam)
@@ -606,6 +609,13 @@ def _make_run_fn(cfg: MapperConfig, cam: PinholeCamera):
 class Mapper:
     def __init__(self, cfg: MapperConfig, cam: PinholeCamera, decoder=None):
         assert len(cfg.pho_iters) == cfg.pyramid_levels
+        if cfg.max_rep_factors <= 0:
+            # derive the persistent-rep-factor worst case from the config
+            # (every live keyframe x both directions x back-connections,
+            # + headroom for loop links): a default-config long run used to
+            # exhaust a fixed 64-slot pool mid-run (ADVICE r4)
+            cfg = cfg._replace(max_rep_factors=(
+                cfg.max_keyframes * 2 * cfg.max_back_connections + 16))
         self.cfg = cfg
         self.cam = cam
         self.decoder = decoder
@@ -1213,7 +1223,13 @@ class Mapper:
             # error over their few pixels — require real overlap
             errs = jnp.where(st[:, 0] > 0.25, st[:, 1], jnp.inf)
             b = jnp.argmin(errs)
-            return qs[b], ts[b]
+            # every hypothesis below the inlier floor: fall back to the
+            # identity pose instead of silently seeding keyframe 1 with
+            # hypothesis 0's (possibly diverged) pose (ADVICE r4)
+            ok = jnp.isfinite(errs[b])
+            q = jnp.where(ok, qs[b], jnp.asarray([1.0, 0, 0, 0], qs.dtype))
+            t = jnp.where(ok, ts[b], jnp.zeros(3, ts.dtype))
+            return q, t
 
         self._boot_align_jit = align
         return align
@@ -1856,9 +1872,12 @@ class Mapper:
                         jnp.zeros(N, jnp.int32), jnp.zeros(N, bool),
                         jnp.asarray(0, jnp.int32))
             jax.block_until_ready(out[1])
-        # rep-pair construction (1- and 2-connection events)
+        # rep-pair construction: a keyframe event matches n = number of
+        # back-connections pairs in one dispatch, so every n up to the
+        # connection policy's maximum must be warm (ADVICE r4: warming only
+        # (1, 2) left 3-4-connection events paying a runtime compile)
         if cfg.use_reprojection and self.state.kp_desc.shape[1] > 0:
-            for n in (1, 2):
+            for n in range(1, max(2, cfg.max_back_connections) + 1):
                 pairs = self._rep_pair_fn()
                 out = pairs(self.state.kp_xy, self.state.kp_desc,
                             self.state.kp_valid,

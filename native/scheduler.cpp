@@ -280,6 +280,9 @@ int32_t df_sched_fused_sig(void* h, int32_t* out) {
       if (w.iters[l] != w0->iters[l] || w.orig_iters[l] != w0->orig_iters[l])
         return 0;
   }
+  // rep/geo-only work list: no photo schedule to share — fall back to the
+  // phase-wise path (matches PyScheduler.fused_sig returning None)
+  if (!w0) return 0;
   out[0] = w0->active_level;
   out[1] = w0->n_levels;
   for (int l = 0; l < w0->n_levels; ++l) {

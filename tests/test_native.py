@@ -105,6 +105,20 @@ def test_scheduler_convergence_signal():
     assert n_phases <= 4
 
 
+def test_fused_sig_rep_only_returns_none():
+    """A non-empty work list with ONLY rep/geo works has no shared photo
+    schedule: fused_sig must report 'no fast path' (None), matching the
+    Python scheduler — the pre-fix native code dereferenced a null work
+    pointer here (ADVICE r4 high)."""
+    s = native.NativeScheduler(8, 4, 4)
+    s.add_work(native.REP, 0, 1, False, [15])
+    assert s.has_work()
+    assert s.fused_sig() is None
+    # a photo work joining the list restores the fast path
+    s.add_work(native.PHOTO, 0, 1, False, [2, 3])
+    assert s.fused_sig() is not None
+
+
 def test_scheduler_child_promotion():
     s = native.NativeScheduler(8, 4, 4)
     parent = s.add_work(native.PHOTO, 0, 1, False, [1],
