@@ -61,11 +61,18 @@ class DetectorConfig(NamedTuple):
 
 
 def _brief_pattern(n_bits: int = 256, radius: int = 15, seed: int = 7):
-    """Fixed Gaussian-distributed test-pair pattern (BRIEF-style)."""
+    """Fixed Gaussian-distributed test-pair pattern (BRIEF-style).
+
+    Returned as a NUMPY array on purpose: a module-level eager jnp array
+    is a device-committed buffer, and capturing one as a jit closure
+    constant permanently degrades the axon client's dispatch latency
+    (~7 ms -> ~200+ ms for every subsequent program) the first time such
+    a program executes — measured, round 5. Numpy constants lower as HLO
+    literals and are safe."""
     rng = np.random.RandomState(seed)
     sigma = radius / 2.5
     pts = np.clip(rng.randn(n_bits, 4) * sigma, -radius, radius)
-    return jnp.asarray(pts.astype(np.float32))  # [256, 4] = (x1, y1, x2, y2)
+    return pts.astype(np.float32)  # [256, 4] = (x1, y1, x2, y2)
 
 
 _PATTERN = _brief_pattern()

@@ -54,6 +54,11 @@ class FrameStepOut(NamedTuple):
     bow_v: Array      # [V] BoW vector (device; zeros when no loop detector)
     img_pyr: tuple    # per-level [h, w] device arrays
     grad_pyr: tuple   # per-level [h, w, 2] device arrays
+    # tracked world pose as separate small outputs: the pipelined facade
+    # chains frame i+1's constant-velocity prediction off these DEVICE
+    # arrays without ever syncing them to the host (system.py pipelining)
+    wc_q: Array       # [4]
+    wc_t: Array       # [3]
 
 
 def probe_layout(K: int, F: int, S: int = None):
@@ -95,7 +100,16 @@ def build_frame_fn(tracker_cfg: TrackerConfig, cam: PinholeCamera,
     def frame_fn(img, kf_imgs, kf_dpts, kf_q, kf_t, fr_q, fr_t, curr_kf,
                  prev_q, prev_t, prev2_q, prev2_t, voc_words, voc_idf, db,
                  db_valid):
-        img = jnp.asarray(img, jnp.float32)
+        # reduced-precision upload path (SystemConfig.frame_upload): the
+        # per-frame image is the largest host->device transfer on the hot
+        # path, and the axon tunnel degrades to ~55 MB/s after the first
+        # device_get — f16 halves the f32 cost; u8 quarters it for 8-bit
+        # camera sources. Conversion back to f32 happens in-jit.
+        img = jnp.asarray(img)
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) * (1.0 / 255.0)
+        else:
+            img = img.astype(jnp.float32)
         img_pyr = tuple(ip.build_pyramid(img, levels))
         grad_pyr = tuple(ip.build_gradient_pyramid(img_pyr))
 
@@ -144,6 +158,7 @@ def build_frame_fn(tracker_cfg: TrackerConfig, cam: PinholeCamera,
             pose_wc.q, pose_wc.t, d_full, d_trans, fr_trans, sims,
             jnp.stack([rot, stats[0], stats[1]]),
         ])
-        return FrameStepOut(probe, feat, bow_v, img_pyr, grad_pyr)
+        return FrameStepOut(probe, feat, bow_v, img_pyr, grad_pyr,
+                            pose_wc.q, pose_wc.t)
 
     return frame_fn

@@ -13,10 +13,23 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+def _host_camera(cam) -> bool:
+    """True when every intrinsic is host-resident (numpy / python scalar).
+
+    Cameras are HOST scalars by design: they are closed over by nearly every
+    jitted program, and a captured *device* constant — even a 0-d scalar —
+    permanently flips the axon tunnel into a degraded transfer mode
+    (~7 GB/s -> ~55 MB/s + ~5 ms per host upload; measured round 5). Host
+    scalars lower as HLO literals instead and are safe. Traced (vmapped)
+    cameras keep working through the jnp branches below."""
+    return not any(isinstance(x, jax.Array) for x in cam)
 
 
 class PinholeCamera(NamedTuple):
@@ -29,11 +42,14 @@ class PinholeCamera(NamedTuple):
 
     @classmethod
     def create(cls, fx, fy, u0, v0, width, height, dtype=jnp.float32):
-        mk = lambda v: jnp.asarray(v, dtype=dtype)
+        # host numpy scalars, NOT jnp: see _host_camera
+        npdt = np.dtype(dtype)
+        mk = lambda v: (v if isinstance(v, jax.Array)
+                        else np.asarray(v, dtype=npdt))
         return cls(mk(fx), mk(fy), mk(u0), mk(v0), mk(width), mk(height))
 
     def matrix(self) -> Array:
-        K = jnp.eye(3, dtype=self.fx.dtype)
+        K = jnp.eye(3, dtype=jnp.asarray(self.fx).dtype)
         K = K.at[0, 0].set(self.fx).at[1, 1].set(self.fy)
         K = K.at[0, 2].set(self.u0).at[1, 2].set(self.v0)
         return K
@@ -45,10 +61,11 @@ class PinholeCamera(NamedTuple):
         integer-halve the viewport each level and rescale intrinsics by the
         actual ratio via ResizeViewport semantics.
         """
+        xp = np if _host_camera(self) else jnp
         cam = self
         for _ in range(lvl):
-            new_w = jnp.floor(cam.width / 2)
-            new_h = jnp.floor(cam.height / 2)
+            new_w = xp.floor(cam.width / 2)
+            new_h = xp.floor(cam.height / 2)
             xr = new_w / cam.width
             yr = new_h / cam.height
             cam = PinholeCamera(
@@ -111,6 +128,7 @@ def pixel_valid(cam: PinholeCamera, pixel: Array, border=0) -> Array:
 
 def resize(cam: PinholeCamera, new_width, new_height) -> PinholeCamera:
     """ResizeViewport semantics (pinhole_camera_impl.h:126-136)."""
+    xp = np if _host_camera(cam) else jnp
     xr = new_width / cam.width
     yr = new_height / cam.height
     return PinholeCamera(
@@ -118,8 +136,8 @@ def resize(cam: PinholeCamera, new_width, new_height) -> PinholeCamera:
         cam.fy * yr,
         cam.u0 * xr,
         cam.v0 * yr,
-        jnp.asarray(new_width, cam.width.dtype),
-        jnp.asarray(new_height, cam.height.dtype),
+        xp.asarray(new_width, jnp.result_type(cam.width)),
+        xp.asarray(new_height, jnp.result_type(cam.height)),
     )
 
 

@@ -111,9 +111,18 @@ def _make_verify_fn(cfg: LoopConfig, cam: PinholeCamera, levels: int):
             q, t, inl, err = jax.lax.fori_loop(
                 0, cfg.iters_per_level[level], body, (q, t, inl, err)
             )
-        return q, t, inl, err
+        # ONE packed [C, 9] output (q | t | inl | err): callers read one
+        # array — each separate device->host read costs ~25 ms through the
+        # degraded axon tunnel
+        return jnp.concatenate(
+            [q, t, inl[:, None], err[:, None]], axis=-1)
 
     return jax.jit(verify_batch)
+
+
+def unpack_verify(v):
+    """Split the packed verify output [C, 9] -> (q, t, inl, err)."""
+    return v[:, 0:4], v[:, 4:7], v[:, 7], v[:, 8]
 
 
 class LoopDetector:
@@ -153,6 +162,19 @@ class LoopDetector:
         self._arch_next = 0                                # round-robin ptr
         self._archive_fn = None
         self._arch_pyr_fn = None
+
+    def reset(self):
+        """Clear the database and archive (compiled fns are kept): lets a
+        facade be reused across sequences without re-prewarming."""
+        self.db = jnp.zeros_like(self.db)
+        self.db_valid = jnp.zeros_like(self.db_valid)
+        self.arch_img = jnp.zeros_like(self.arch_img)
+        self.arch_dpt = jnp.ones_like(self.arch_dpt)
+        self.arch_q = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                               (self.A, 1))
+        self.arch_t = jnp.zeros_like(self.arch_t)
+        self.arch_ids = np.full((self.A,), -1, np.int64)
+        self._arch_next = 0
 
     def add_keyframe(self, slot: int, desc: Array, valid: Array):
         """AddKeyframe: insert the keyframe's BoW vector into the database."""
@@ -311,12 +333,13 @@ class LoopDetector:
             jnp.asarray(is_arch), pose_cur.q, pose_cur.t,
         )
         # pose_ck convention: cur_from_kf = pose_cur^-1 * pose_kf
-        q, t, inl, err = self._verify(
+        packed = self._verify(
             tuple(kf_imgs), tuple(kf_dpts), tuple(cur_imgs),
             tuple(cur_grads), iq, it,
         )
-        inl = np.asarray(jax.device_get(inl))
-        tnorm = np.linalg.norm(np.asarray(jax.device_get(t)), axis=-1)
+        pk = np.asarray(packed)              # ONE device->host read
+        q, t, inl, _err = pk[:, 0:4], pk[:, 4:7], pk[:, 7], pk[:, 8]
+        tnorm = np.linalg.norm(t, axis=-1)
         best = -1
         best_inl = self.cfg.min_inliers
         for i in range(len(cands)):

@@ -742,7 +742,9 @@ class Mapper:
 
         tic("kf:evict")
         assert victim in self.kf_slots
+        tic("kf:evict/margfr")
         self.marginalize_frames()  # frame factors reference keyframes
+        toc("kf:evict/margfr")
         CS = self.cfg.code_size
         B = 6 + CS
         pool = self.sched.photo_pool
@@ -791,6 +793,7 @@ class Mapper:
             nb_on[:len(neighbors)] = True
 
             evict = self._evict_fn(P, N, levels_present)
+            tic("kf:evict/dispatch")
             self.marginals, vq, vt = evict(
                 self.state, self.marginals,
                 jnp.asarray(src), jnp.asarray(dst), jnp.asarray(lvl),
@@ -798,40 +801,83 @@ class Mapper:
                 jnp.asarray(nb_slot), jnp.asarray(nb_on),
                 jnp.asarray(victim, jnp.int32),
             )
-            q, t = jax.device_get((vq, vt))
+            toc("kf:evict/dispatch")
         else:
-            q, t = jax.device_get((self.state.pose.q[victim],
-                                   self.state.pose.t[victim]))
+            vq, vt = self.state.pose.q[victim], self.state.pose.t[victim]
         # archive the final pose before the slot is reused (SaveResults
-        # writes per-keyframe poses, deepfactors.cpp:574-594)
+        # writes per-keyframe poses, deepfactors.cpp:574-594). Stored as
+        # DEVICE arrays with an async host copy: the blocking device_get
+        # here cost one full ~50-70 ms tunnel round trip per eviction —
+        # half the keyframe event's sync budget. Consumers (save_results,
+        # checkpoint, dump_state) read at end-of-run, when the copy has
+        # long landed.
+        for x in (vq, vt):
+            try:
+                x.copy_to_host_async()
+            except AttributeError:
+                pass    # plain numpy under some test paths
         kid = next((k for k, v in self.kf_ids.items() if v == victim), -1)
-        self.archived.append(
-            {"id": kid, "q": np.asarray(q), "t": np.asarray(t)}
-        )
-        # drop works, pool factors, links, marginal store, active flag
+        self.archived.append({"id": kid, "q": vq, "t": vt})
+        # drop works + pool factors (host bookkeeping)
         self.sched.erase_keyframe(victim)
+        dead = []
         for li, pair in list(self.links_host):
             if victim in pair:
                 self.links_host.remove((li, pair))
                 self._link_free.append(li)
-                self.state = ms.remove_link(self.state, li)
-        self.marginals = mg.clear(self.marginals, victim)
-        self.state = self.state._replace(
-            active=self.state.active.at[victim].set(False)
-        )
+                dead.append(li)
         was_anchor = self.kf_slots and self.kf_slots[0] == victim
         self.kf_slots.remove(victim)
         if kid >= 0:
             del self.kf_ids[kid]
+        # one jitted dispatch for ALL device-state edits (link flags,
+        # marginal clear, active flag, re-anchor gather): the previous
+        # eager-op sequence cost ~115 ms per eviction through the degraded
+        # axon tunnel (each eager op is its own ~5 ms dispatch)
+        tic("kf:evict/erase")
+        LN = 4
+        link_idx = np.zeros(LN, np.int32)
+        link_on = np.zeros(LN, bool)
+        for j, li in enumerate(dead[:LN]):
+            link_idx[j], link_on[j] = li, True
+        for li in dead[LN:]:        # overflow: rare, eager fallback
+            self.state = ms.remove_link(self.state, li)
+        anchor = self.kf_slots[0] if self.kf_slots else victim
+        self.state, self.marginals, aq, at = self._evict_finalize_fn()(
+            self.state, self.marginals, jnp.asarray(victim, jnp.int32),
+            jnp.asarray(link_idx), jnp.asarray(link_on),
+            jnp.asarray(anchor, jnp.int32),
+        )
         if was_anchor and self.kf_slots:
             # re-anchor the gauge prior on the new oldest keyframe at its
             # current estimate (gauge continuity)
-            self._anchor_pose = se3m.index(self.state.pose,
-                                           self.kf_slots[0])
+            self._anchor_pose = SE3(aq, at)
+        toc("kf:evict/erase")
         if self.evict_callback is not None:
+            tic("kf:evict/callback")
             self.evict_callback(victim, kid)
+            toc("kf:evict/callback")
         toc("kf:evict")
         return victim
+
+    def _evict_finalize_fn(self):
+        if getattr(self, "_evict_finalize_jit", None) is not None:
+            return self._evict_finalize_jit
+
+        @jax.jit
+        def finalize(state, marginals, victim, link_idx, link_on, anchor):
+            la = state.link_active
+            la = la.at[link_idx].set(la[link_idx] & ~link_on)
+            state = state._replace(
+                link_active=la,
+                active=state.active.at[victim].set(False),
+            )
+            marginals = mg.clear(marginals, victim)
+            return state, marginals, state.pose.q[anchor], \
+                state.pose.t[anchor]
+
+        self._evict_finalize_jit = finalize
+        return finalize
 
     def _evict_fn(self, P: int, N: int, levels_present: tuple):
         """Jitted one-dispatch keyframe eviction: batched linearization of
@@ -1200,8 +1246,10 @@ class Mapper:
             iterations_per_level=tuple([12] * (L4 - 1) + [20]),
             huber_delta=self.cfg.huber_delta,
         )
-        yaws = jnp.asarray([0.0, 0.15, -0.15, 0.3, -0.3, 0.45, -0.45],
-                           jnp.float32)
+        # numpy, NOT jnp: an eager device array captured as a jit constant
+        # poisons the axon client's dispatch path (see detector._brief_pattern)
+        yaws = np.asarray([0.0, 0.15, -0.15, 0.3, -0.3, 0.45, -0.45],
+                          np.float32)
 
         @jax.jit
         def align(kf_imgs, kf_dpts, img1):
@@ -1254,9 +1302,12 @@ class Mapper:
         slot = self.add_keyframe_to_map(img, pose_init, code,
                                         pyramids_in=pyramids_in)
         self.marginalize_frames()
+        finish_rep = None
         if self.cfg.use_reprojection:
-            # all back-connections in ONE match+RANSAC dispatch
-            self._add_rep_pairs([(slot, back) for back in conns])
+            # all back-connections in ONE match+RANSAC dispatch; the host
+            # copy crosses the tunnel while the photo works are registered
+            finish_rep = self._add_rep_pairs_async(
+                [(slot, back) for back in conns])
         for back in conns:
             last_photo = None
             if self.cfg.use_photometric:
@@ -1268,6 +1319,8 @@ class Mapper:
                     np.asarray(jax.device_get(self._sample_geo_points())),
                     parent=last_photo,
                 )
+        if finish_rep is not None:
+            finish_rep()
         return slot
 
     def _sample_geo_points(self):
@@ -1312,9 +1365,15 @@ class Mapper:
             for j in range(n):   # both directions of every pair, unrolled
                 outs.append(one(ias[j], ibs[j], ks[2 * j]))
                 outs.append(one(ibs[j], ias[j], ks[2 * j + 1]))
-            return (jnp.stack([o[0] for o in outs]),
-                    jnp.stack([o[1] for o in outs]),
-                    jnp.stack([o[2] for o in outs]))
+            # ONE packed [2n, M, 5] output (kp0 | kp1 | valid): each
+            # device->host read through the degraded axon tunnel costs
+            # ~25 ms, so the event reads one array, not three
+            return jnp.concatenate([
+                jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]),
+                jnp.stack([o[2] for o in outs]).astype(
+                    jnp.float32)[..., None],
+            ], axis=-1)
 
         self._rep_pair_jit = pairs
         return pairs
@@ -1323,28 +1382,52 @@ class Mapper:
         self._add_rep_pairs([(s0, s1)])
 
     def _add_rep_pairs(self, slot_pairs):
+        self._add_rep_pairs_async(slot_pairs)()
+
+    def _add_rep_pairs_async(self, slot_pairs):
         """Both-way reprojection works with matching + RANSAC pruning at
         construction (reprojection_factor.cpp:54-69): ALL pairs of a
-        keyframe event run as one fused dispatch + one device_get."""
+        keyframe event run as ONE fused dispatch, with the host copy
+        started asynchronously. Returns a finish() callable that blocks on
+        the copy and registers the works — callers interleave other event
+        work (photo-work bookkeeping, eviction dispatches) between the two
+        so the tunnel round trip overlaps instead of stalling the event."""
         if not slot_pairs:
-            return
+            return lambda: None
+        from ..utils.timing import tic, toc
+
+        tic("kf:rep-dispatch")
         n = len(slot_pairs)
         pairs = self._rep_pair_fn()
         ias = jnp.asarray([a for a, _ in slot_pairs], jnp.int32)
         ibs = jnp.asarray([b for _, b in slot_pairs], jnp.int32)
-        kp0s, kp1s, valids = (np.asarray(x) for x in jax.device_get(pairs(
+        out = pairs(
             self.state.kp_xy, self.state.kp_desc, self.state.kp_valid,
             ias, ibs, self._next_key(), n,
-        )))
-        dirs = []
-        for a, b in slot_pairs:
-            dirs.extend([(a, b), (b, a)])
-        for d, (a, b) in enumerate(dirs):
-            # empty-match guard (df_work.cpp:316-347)
-            if valids[d].sum() < 8:
-                continue
-            self.sched.add_rep(a, b, self.cfg.rep_iters,
-                               kp0s[d], kp1s[d], valids[d])
+        )
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        toc("kf:rep-dispatch")
+
+        def finish():
+            tic("kf:rep-finish")
+            packed = np.asarray(out)        # ONE device->host read
+            kp0s, kp1s = packed[..., 0:2], packed[..., 2:4]
+            valids = packed[..., 4] > 0.5
+            dirs = []
+            for a, b in slot_pairs:
+                dirs.extend([(a, b), (b, a)])
+            for d, (a, b) in enumerate(dirs):
+                # empty-match guard (df_work.cpp:316-347)
+                if valids[d].sum() < 8:
+                    continue
+                self.sched.add_rep(a, b, self.cfg.rep_iters,
+                                   kp0s[d], kp1s[d], valids[d])
+            toc("kf:rep-finish")
+
+        return finish
 
     def enqueue_frame(self, img, pose_init: SE3, kf_slot: int,
                       pyramids=None):
@@ -1872,6 +1955,11 @@ class Mapper:
                         jnp.zeros(N, jnp.int32), jnp.zeros(N, bool),
                         jnp.asarray(0, jnp.int32))
             jax.block_until_ready(out[1])
+        out = self._evict_finalize_fn()(
+            self.state, self.marginals, jnp.asarray(0, jnp.int32),
+            jnp.zeros(4, jnp.int32), jnp.zeros(4, bool),
+            jnp.asarray(0, jnp.int32))
+        jax.block_until_ready(out[2])
         # rep-pair construction: a keyframe event matches n = number of
         # back-connections pairs in one dispatch, so every n up to the
         # connection policy's maximum must be warm (ADVICE r4: warming only
@@ -1883,7 +1971,7 @@ class Mapper:
                             self.state.kp_valid,
                             jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
                             jax.random.PRNGKey(0), n)
-                jax.block_until_ready(out[2])
+                jax.block_until_ready(out)
         self.update_map()
 
     def has_work(self) -> bool:

@@ -217,7 +217,13 @@ class Decoder:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             dummy = jnp.zeros((cfg.input_height, cfg.input_width), jnp.float32)
             params = self.module.init(rng, dummy)
-        self.params = params
+        # params MUST live on device: pickle-loaded numpy params are
+        # re-uploaded on EVERY jitted call that takes them, and after the
+        # first real SLAM program executes, the axon tunnel's host->device
+        # transfer path degrades to ~55 MB/s — a ~30 MB parameter tree then
+        # costs ~550 ms PER KEYFRAME BUILD (measured round 5; this was the
+        # entire r4 keyframe-event budget).
+        self.params = jax.device_put(params)
         self._apply = jax.jit(self.module.apply)
 
     def raw_outputs(self, img: Array):

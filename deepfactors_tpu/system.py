@@ -71,12 +71,64 @@ class SystemConfig(NamedTuple):
     # mapping
     interleave_mapping: bool = False
     predict_code: bool = True
+    # frame pipelining: 0 = sequential (dispatch + blocking probe read per
+    # frame, one ~50-70 ms axon-tunnel sync each — the r4 e2e floor);
+    # N >= 1 = keep N frames in flight, chain tracking's constant-velocity
+    # prediction on DEVICE arrays, read frame i-N's probe (started as an
+    # async host copy at its dispatch) only after dispatching frame i.
+    # Decisions (lost check, keyframe/frame policy, loop closure) lag N
+    # frames — the analogue of the reference's async mapping thread
+    # (live_demo.cpp:236-267). Measured: sync pattern 109 ms/frame, lag-1
+    # pipeline 13 ms/frame at bench shapes.
+    pipeline_depth: int = 0
+    # live-frame upload dtype: "f32" | "f16" | "u8". The per-frame image
+    # is the only large per-frame host->device transfer (~26 ms f32
+    # through the degraded axon tunnel); f16/u8 shrink it, but BOTH
+    # measurably cost tracking robustness at fast pacing (60-frame orbit:
+    # f32 100% tracked / 14 fps, f16 and u8 ~68% tracked — quantization
+    # noise in the Sobel gradients tips marginal GN basins). Default f32;
+    # u8 remains the right choice for true 8-bit camera sources.
+    frame_upload: str = "f32"
 
 
 class Stats(NamedTuple):
     inliers: float
     tracker_error: float
     distance: float
+
+
+def _host_pose_distance(pa: SE3, pb: SE3) -> float:
+    """Host-numpy mirror of se3.pose_distance (trs_wgt 8, rot_wgt 3, roll
+    ignored — warping.h:139-147) for poses already on the host; the
+    pipelined retire path needs one distance without a device dispatch."""
+    qa = np.asarray(pa.q, np.float64)
+    ta = np.asarray(pa.t, np.float64)
+    qb = np.asarray(pb.q, np.float64)
+    tb = np.asarray(pb.t, np.float64)
+    # rel = a⁻¹ ∘ b : q_rel = conj(qa) * qb, t_rel = R(qa)ᵀ (tb - ta)
+    w1, x1, y1, z1 = qa[0], -qa[1], -qa[2], -qa[3]
+    w2, x2, y2, z2 = qb
+    qr = np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+    d = tb - ta
+    # rotate d by conj(qa): v' = v + 2*s*(u×v) + 2*u×(u×v), u = -qa[1:]
+    u = -qa[1:]
+    s = qa[0]
+    c1 = np.cross(u, d)
+    t_rel = d + 2.0 * s * c1 + 2.0 * np.cross(u, c1)
+    # so3_log(qr): w_vec = angle * axis
+    nv = float(np.linalg.norm(qr[1:]))
+    if nv < 1e-12:
+        drot = 0.0
+    else:
+        ang = 2.0 * np.arctan2(nv, abs(float(qr[0])))
+        wv = qr[1:] / nv * ang
+        drot = float(np.linalg.norm(wv[:2]))   # roll ignored
+    return 8.0 * float(np.linalg.norm(t_rel)) + 3.0 * drot
 
 
 class DeepFactors:
@@ -139,6 +191,16 @@ class DeepFactors:
         self._reloc_vel: Optional[SE3] = None
         self._last_tracked_nframe = 0
         self._last_loop_nframe = -10**9
+        # pipelined mode (cfg.pipeline_depth > 0): in-flight frames +
+        # device-resident constant-velocity chain (see _dispatch_frame)
+        from collections import deque
+        self._pending = deque()
+        self._dev_prev = None          # (q, t) device arrays or None
+        self._dev_prev2 = None
+        self._chain_vel: Optional[SE3] = None  # one-shot post-reloc velocity
+        self._map_mutation_nframe = 0  # last kf build/evict/resurrect
+        self._newest_kf_pose: Optional[SE3] = None  # host pose of newest kf
+        self._dev_slot_cache: dict = {}  # slot -> device int32 (one upload)
         # coverage counters (bench honesty: an ATE over an unreported
         # subset of frames is not an ATE — VERDICT r3 weak #2)
         self.n_frames = 0             # process_frame calls
@@ -206,6 +268,8 @@ class DeepFactors:
         self._pose_wc_prev = SE3(*(np.asarray(x) for x in
                                    jax.device_get((p2.q, p2.t))))
         self._reloc_vel = None
+        self._pending.clear()
+        self._dev_prev = self._dev_prev2 = self._chain_vel = None
         self._last_tracked_nframe = self.n_frames
         toc("bootstrap")
 
@@ -221,12 +285,19 @@ class DeepFactors:
         self.bootstrapped = True
         self.tracking_lost = False
         self._pose_wc_prev = None
+        self._pending.clear()
+        self._dev_prev = self._dev_prev2 = self._chain_vel = None
 
     # ------------------------------------------------------------------
     # per-frame pipeline (deepfactors.cpp:220-366)
     # ------------------------------------------------------------------
 
     def process_frame(self, timestamp: float, img) -> None:
+        """ProcessFrame (deepfactors.cpp:220-366). With
+        ``cfg.pipeline_depth > 0`` this dispatches the frame, then retires
+        (reads the probe of / makes the decisions for) the frame
+        ``pipeline_depth`` frames back — call :meth:`flush` after the last
+        frame to retire the tail."""
         if not self.bootstrapped:
             raise RuntimeError(
                 "Calling ProcessFrame before system is bootstrapped!"
@@ -235,9 +306,13 @@ class DeepFactors:
         img = self.preprocess_image(img)     # host numpy [H, W]
         toc("preprocess")
         self.n_frames += 1
+        nframe = self.n_frames
 
         just_relocalized = False
         if self.tracking_lost:
+            # pipelined mode: frames in flight behind a loss are garbage
+            # (their tracking chained off the lost pose) — drain them first
+            self.flush()
             tic("relocalize")
             ok = self._relocalize(img)
             toc("relocalize")
@@ -260,9 +335,49 @@ class DeepFactors:
             if newkf != self.curr_kf:
                 self._set_current_kf(newkf)
 
-        # ONE dispatch: pyramids + track + features + BoW + decision probe;
-        # ONE device_get: the packed probe vector
+        # ONE dispatch: pyramids + track + features + BoW + decision probe
         tic("frame step")
+        out = self._dispatch_frame(img, just_relocalized)
+        if self.cfg.pipeline_depth > 0:
+            # pipelined: start the probe's host copy now, retire the frame
+            # pipeline_depth frames back (its copy has had a full frame
+            # cycle to cross the tunnel — measured: the blocking read then
+            # costs ~1-5 ms instead of ~50-70)
+            out.probe.copy_to_host_async()
+            self._pending.append((timestamp, nframe, img, out,
+                                  self.curr_kf))
+            toc("frame step")
+            while len(self._pending) > self.cfg.pipeline_depth:
+                self._retire_one()
+            return
+        probe, new_pose_wc = self._parse_probe(
+            np.asarray(jax.device_get(out.probe))
+        )
+        toc("frame step")
+        self._decide(timestamp, nframe, img, out, probe, new_pose_wc,
+                     self.curr_kf, stale=False)
+
+    def flush(self) -> None:
+        """Retire every in-flight frame (pipelined mode). Call after the
+        last process_frame of a sequence — the trajectory and map are only
+        final once the pipeline is drained. No-op in sequential mode."""
+        while self._pending:
+            self._retire_one()
+
+    def _dev_slot(self, slot: int):
+        """Device-resident int32 for a keyframe slot index, uploaded once
+        and reused (a per-dispatch scalar upload costs ~1-5 ms through the
+        degraded axon tunnel)."""
+        v = self._dev_slot_cache.get(slot)
+        if v is None:
+            v = self._dev_slot_cache[slot] = jnp.asarray(slot, jnp.int32)
+        return v
+
+    def _dispatch_frame(self, img, just_relocalized: bool):
+        """Dispatch the fused frame step. Sequential mode seeds the
+        constant-velocity prediction from host poses; pipelined mode chains
+        it on the previous dispatch's DEVICE pose outputs (wc_q/wc_t), so
+        no host sync sits between consecutive dispatches."""
         st = self.mapper.state
         fsd = self.mapper.frames
         L = self.cfg.mapper.pyramid_levels
@@ -272,29 +387,106 @@ class DeepFactors:
                                      ld.db_valid)
         else:
             voc_w, voc_i, db, dbv = self._no_loop_db
-        prev2 = self._pose_wc_prev if self._pose_wc_prev is not None \
-            else self.pose_wc
+
+        pipelined = self.cfg.pipeline_depth > 0
+        if pipelined and just_relocalized:
+            # restart the device chain at the relocalized pose; the velocity
+            # reconstructed across the lost gap applies from the NEXT
+            # dispatch (this frame re-tracks from the reloc pose itself)
+            self._dev_prev = (jnp.asarray(self.pose_wc.q),
+                              jnp.asarray(self.pose_wc.t))
+            self._dev_prev2 = None
+            self._chain_vel = self._reloc_vel
+            self._reloc_vel = None
+        if pipelined and self._dev_prev is not None:
+            prev_q, prev_t = self._dev_prev
+            if self._chain_vel is not None:
+                # prev2 = prev ∘ vel⁻¹ so the prediction is prev ∘ vel
+                # (device-side composition; no sync)
+                v = self._chain_vel
+                self._chain_vel = None
+                p2 = se3m.mul(SE3(prev_q, prev_t),
+                              se3m.inverse(SE3(jnp.asarray(v.q),
+                                               jnp.asarray(v.t))))
+                prev2_q, prev2_t = p2.q, p2.t
+            elif self._dev_prev2 is not None:
+                prev2_q, prev2_t = self._dev_prev2
+            else:
+                prev2_q, prev2_t = prev_q, prev_t
+        else:
+            prev_q, prev_t = self.pose_wc.q, self.pose_wc.t
+            prev2 = self._pose_wc_prev if self._pose_wc_prev is not None \
+                else self.pose_wc
+            prev2_q, prev2_t = prev2.q, prev2.t
+        img_up = img
+        if self.cfg.frame_upload == "u8" and img_up.dtype != np.uint8:
+            img_up = (np.clip(img_up, 0.0, 1.0) * 255.0 + 0.5).astype(
+                np.uint8)
+        elif self.cfg.frame_upload == "f16" and img_up.dtype != np.float16:
+            img_up = img_up.astype(np.float16)
         out = self._frame_fn(
-            img,
+            img_up,
             tuple(st.levels[l].img for l in range(L)),
             tuple(st.levels[l].dpt for l in range(L)),
             st.pose.q, st.pose.t, fsd.pose.q, fsd.pose.t,
-            jnp.asarray(self.curr_kf, jnp.int32),
-            self.pose_wc.q, self.pose_wc.t, prev2.q, prev2.t,
+            self._dev_slot(self.curr_kf),
+            prev_q, prev_t, prev2_q, prev2_t,
             voc_w, voc_i, db, dbv,
         )
-        probe, new_pose_wc = self._parse_probe(
-            np.asarray(jax.device_get(out.probe))
-        )
+        if pipelined:
+            self._dev_prev2 = (jnp.asarray(prev_q), jnp.asarray(prev_t))
+            self._dev_prev = (out.wc_q, out.wc_t)
+        return out
+
+    def _retire_one(self) -> None:
+        """Retire the oldest in-flight frame: read its probe (async copy
+        started at dispatch) and run every decision the sequential path
+        makes after the frame step."""
+        timestamp, nframe, img, out, kf = self._pending.popleft()
+        if self.tracking_lost:
+            # a newer retire declared a loss while this frame was in
+            # flight: its tracking chained off the lost pose — discard
+            self.n_lost_frames += 1
+            return
+        tic("probe retire")
+        probe, new_pose_wc = self._parse_probe(np.asarray(out.probe))
+        toc("probe retire")
+        # entries dispatched before the latest map mutation (keyframe
+        # build/eviction/resurrection) carry distances/similarities over
+        # PRE-mutation pool contents: their pose still counts, but the
+        # keyframe/frame/loop policies must not act on stale slots (a
+        # d_full entry for a reused slot would re-fire the keyframe policy
+        # every event — measured churn; see _decide)
+        stale = nframe <= self._map_mutation_nframe
+        self._decide(timestamp, nframe, img, out, probe, new_pose_wc, kf,
+                     stale=stale)
+
+    def _decide(self, timestamp, nframe, img, out, probe, new_pose_wc,
+                kf: int, stale: bool) -> None:
+        """Post-tracking decisions for one frame (the second half of the
+        reference's ProcessFrame): lost check, CV chain bookkeeping, loop
+        closure, keyframe/frame policies, mapping. ``kf`` is the keyframe
+        the frame was TRACKED against (== curr_kf at its dispatch)."""
         self.tracker.inliers = probe["inliers"]
         self.tracker.error = probe["error"]
-        self._last_kf_dists = probe["d_full"]
-        toc("frame step")
+        if not stale:
+            self._last_kf_dists = probe["d_full"]
 
-        self.tracking_lost = self._check_tracking_lost(probe)
+        dist = float(probe["d_full"][kf])
+        if stale and self._newest_kf_pose is not None:
+            # a keyframe was created AFTER this frame's dispatch (likely
+            # from the frame right before it): its probe distance to the
+            # old reference keyframe overstates how far the camera is from
+            # the map — without this, every post-event in-flight frame at
+            # keyframe-per-frame pacing reads as lost (measured)
+            dist = min(dist,
+                       _host_pose_distance(self._newest_kf_pose,
+                                           new_pose_wc))
+        self.tracking_lost = self._check_tracking_lost(probe, kf, dist)
         if self.tracking_lost:
             self._pose_wc_prev = None   # stale velocity would mislead
             self._reloc_vel = None
+            self._dev_prev = self._dev_prev2 = self._chain_vel = None
             self.n_lost_frames += 1
             return
 
@@ -302,6 +494,8 @@ class DeepFactors:
             # re-seed the constant-velocity chain with the motion estimated
             # across the relocalization gap: prev2 = cur * vel^-1 makes next
             # frame's prediction cur * vel instead of zero velocity
+            # (sequential mode only: the pipelined chain consumed the
+            # velocity at dispatch)
             v = self._reloc_vel
             p2 = se3m.mul(SE3(jnp.asarray(new_pose_wc.q),
                               jnp.asarray(new_pose_wc.t)),
@@ -313,23 +507,26 @@ class DeepFactors:
         else:
             self._pose_wc_prev = self.pose_wc
         self.pose_wc = new_pose_wc
-        self._last_tracked_nframe = self.n_frames
+        self._last_tracked_nframe = nframe
         self.trajectory.append((timestamp, new_pose_wc))
         if self.pose_callback:
             self.pose_callback(new_pose_wc)
 
-        if self.loop_detector is not None:
+        if self.loop_detector is not None and not stale:
             tic("loop closure")
-            self._loop_closure(out.img_pyr, out.grad_pyr, probe, out.feat)
+            self._loop_closure(out.img_pyr, out.grad_pyr, probe, out.feat,
+                               kf)
             toc("loop closure")
 
-        if self._new_keyframe_required(probe):
+        if not stale and self._new_keyframe_required(probe, kf):
             tic("enqueue keyframe")
             slot = self.mapper.enqueue_keyframe(
                 np.asarray(img), self.pose_wc,
                 pyramids_in=(out.img_pyr, out.grad_pyr),
             )
             self._set_current_kf(slot)
+            self._map_mutation_nframe = self.n_frames
+            self._newest_kf_pose = self.pose_wc
             # the cached probe distances predate this keyframe; it was
             # created AT the camera pose, so it is the closest by
             # construction — without this, next frame's CLOSEST selection
@@ -356,15 +553,14 @@ class DeepFactors:
             toc("enqueue keyframe")
             return
 
-        if self._new_frame_required(probe):
-            self.mapper.enqueue_frame(np.asarray(img), self.pose_wc,
-                                      self.curr_kf,
+        if not stale and self._new_frame_required(probe, kf):
+            self.mapper.enqueue_frame(np.asarray(img), self.pose_wc, kf,
                                       pyramids=(out.img_pyr, out.grad_pyr))
 
         self.stats = Stats(
             inliers=probe["inliers"],
             tracker_error=probe["error"],
-            distance=float(probe["d_full"][self.curr_kf]),
+            distance=float(probe["d_full"][kf]),
         )
         if self.stats_callback:
             self.stats_callback(self.stats)
@@ -429,13 +625,14 @@ class DeepFactors:
         st = self.mapper.state
         K = self.cfg.mapper.max_keyframes
         ident = se3m.identity((K,))
-        q, t, inl, err = self._reloc_fn(
+        packed = self._reloc_fn(
             tuple(st.levels[l].img for l in range(L)),
             tuple(st.levels[l].dpt for l in range(L)),
             img_pyr, grad_pyr, ident.q, ident.t,
         )
-        q, t, inl, err, kq, kt = (np.asarray(a) for a in jax.device_get(
-            (q, t, inl, err, st.pose.q, st.pose.t)))
+        pk, kq, kt = (np.asarray(a) for a in jax.device_get(
+            (packed, st.pose.q, st.pose.t)))
+        q, t, inl, err = pk[:, 0:4], pk[:, 4:7], pk[:, 7], pk[:, 8]
 
         def d_ck(qr, tr):
             # pose_distance of the recovered camera-from-keyframe transform:
@@ -537,9 +734,10 @@ class DeepFactors:
         valid = ld.arch_ids >= 0
         if not valid.any():
             return False
-        q, t, inl, err = (np.asarray(x) for x in jax.device_get(
+        pk = np.asarray(jax.device_get(
             self._arch_reloc()(ld.arch_img, ld.arch_dpt, img_pyr,
                                grad_pyr)))
+        q, t, inl, err = pk[:, 0:4], pk[:, 4:7], pk[:, 7], pk[:, 8]
 
         def d_ck(qr, tr):
             ang = 2.0 * np.arccos(np.clip(abs(float(qr[0])), 0.0, 1.0))
@@ -569,6 +767,7 @@ class DeepFactors:
         if len(m.kf_slots) >= self.cfg.mapper.max_keyframes:
             m.marginalize_keyframe(m._select_victim())
         slot = m.add_keyframe_to_map(aimg, wk)
+        self._map_mutation_nframe = self.n_frames
         m.add_loop_prior(slot, wk, sigma=self.cfg.loop_sigma)
         if self.loop_detector is not None:
             self._loop_add_keyframe(slot)
@@ -663,7 +862,8 @@ class DeepFactors:
                 best, bd = s, float(d[s])
         return best
 
-    def _check_tracking_lost(self, probe: dict) -> bool:
+    def _check_tracking_lost(self, probe: dict, kf: int = None,
+                             dist: float = None) -> bool:
         """CheckTrackingLost (deepfactors.cpp:852-879).
 
         Non-finite error/distance means the dense alignment diverged (NaN
@@ -671,7 +871,8 @@ class DeepFactors:
         declared lost explicitly or the NaN pose poisons the trajectory,
         the keyframe pools and every later one-hot gather."""
         err = float(probe["error"])
-        dist = float(probe["d_full"][self.curr_kf])
+        if dist is None:
+            dist = float(probe["d_full"][self.curr_kf if kf is None else kf])
         error_too_big = (not np.isfinite(err)
                          or err > self.cfg.tracking_error_threshold)
         kf_too_far = (not np.isfinite(dist)
@@ -684,7 +885,7 @@ class DeepFactors:
     # keyframe / frame policies (deepfactors.cpp:747-809)
     # ------------------------------------------------------------------
 
-    def _new_keyframe_required(self, probe: dict) -> bool:
+    def _new_keyframe_required(self, probe: dict, kf: int = None) -> bool:
         if self.force_keyframe_flag:
             self.force_keyframe_flag = False
             return True
@@ -692,7 +893,7 @@ class DeepFactors:
         if mode == "NEVER":
             return False
         inliers = probe["inliers"]
-        distance = float(probe["d_full"][self.curr_kf])
+        distance = float(probe["d_full"][self.curr_kf if kf is None else kf])
         if mode == "AUTO":
             return (inliers < self.cfg.inlier_threshold
                     or distance > self.cfg.dist_threshold)
@@ -701,13 +902,14 @@ class DeepFactors:
         return delta > self.cfg.combined_threshold or \
             inliers < self.cfg.inlier_threshold
 
-    def _new_frame_required(self, probe: dict) -> bool:
+    def _new_frame_required(self, probe: dict, kf: int = None) -> bool:
         if self.force_frame_flag:
             self.force_frame_flag = False
             return True
         if self.cfg.keyframe_mode == "NEVER":
             return False
-        far_from_kf = (float(probe["d_trans"][self.curr_kf])
+        far_from_kf = (float(probe["d_trans"][self.curr_kf
+                                              if kf is None else kf])
                        > self.cfg.frame_dist_threshold)
         far_from_frames = True
         m = self.mapper
@@ -734,20 +936,22 @@ class DeepFactors:
                            det.DetectorConfig(max_keypoints=128))
             self.loop_detector.add_keyframe(slot, f.descriptor, f.valid)
 
-    def _loop_closure(self, img_pyr, grad_pyr, probe: dict, cur_feat):
+    def _loop_closure(self, img_pyr, grad_pyr, probe: dict, cur_feat,
+                      kf: int = None):
+        kf = self.curr_kf if kf is None else kf
         st = self.mapper.state
         # local loop: photometric link (deepfactors.cpp:248-261) — nearest
         # keyframe outside the active window, from the probe's distances
         win = set(self.mapper.kf_slots[-self.cfg.loop_active_window:])
         local, best_d = -1, self.cfg.loop_max_dist
         for s in self.mapper.kf_slots:
-            if s in win or s == self.curr_kf:
+            if s in win or s == kf:
                 continue
             if float(probe["d_full"][s]) < best_d:
                 local, best_d = s, float(probe["d_full"][s])
-        if local >= 0 and not self._link_exists(self.curr_kf, local):
-            self.mapper.enqueue_link(self.curr_kf, local, photo=True)
-            self.loop_links.append((self.curr_kf, local))
+        if local >= 0 and not self._link_exists(kf, local):
+            self.mapper.enqueue_link(kf, local, photo=True)
+            self.loop_links.append((kf, local))
         # global loop: reprojection link (deepfactors.cpp:263-280) — BoW
         # similarities come from the probe; only a passing candidate costs
         # the dense-verification round trip
@@ -760,15 +964,16 @@ class DeepFactors:
             sims_np=probe["sims"], next_kid=self.mapper._next_kid,
         )
         if res.detected and res.archived_idx >= 0:
-            self._archived_loop(res)
+            self._archived_loop(res, kf)
             self._last_loop_nframe = self.n_frames
-        elif res.detected and not self._link_exists(self.curr_kf, res.slot):
-            self.mapper.enqueue_link(self.curr_kf, res.slot, photo=False,
+        elif res.detected and res.slot != kf \
+                and not self._link_exists(kf, res.slot):
+            self.mapper.enqueue_link(kf, res.slot, photo=False,
                                      rep=True)
-            self.loop_links.append((self.curr_kf, res.slot))
+            self.loop_links.append((kf, res.slot))
             self._last_loop_nframe = self.n_frames
 
-    def _archived_loop(self, res):
+    def _archived_loop(self, res, kf: int = None):
         """Close a loop against an ARCHIVED (evicted) keyframe: the verified
         relative pose against its fixed archived pose gives a corrected
         world pose for the current frame; the world-frame correction is
@@ -776,6 +981,7 @@ class DeepFactors:
         (Mapper.add_loop_prior), then the window is re-optimized. This is
         the pose-graph layer the fixed-capacity pool needs in place of the
         reference's keep-everything ISAM2 graph (deepfactors.cpp:263-280)."""
+        kf = self.curr_kf if kf is None else kf
         # wc_corr = pose_arch_w ∘ rel⁻¹  (same composition as _relocalize)
         arch = SE3(jnp.asarray(res.arch_pose_w.q),
                    jnp.asarray(res.arch_pose_w.t))
@@ -783,19 +989,19 @@ class DeepFactors:
         wc_est = SE3(jnp.asarray(self.pose_wc.q),
                      jnp.asarray(self.pose_wc.t))
         delta = se3m.mul(wc_corr, se3m.inverse(wc_est))
-        kf_pose = se3m.index(self.mapper.state.pose, self.curr_kf)
+        kf_pose = se3m.index(self.mapper.state.pose, kf)
         target = se3m.mul(delta, kf_pose)
         q, t = (np.asarray(x) for x in jax.device_get((target.q, target.t)))
         if not (np.all(np.isfinite(q)) and np.all(np.isfinite(t))):
             return
-        self.mapper.add_loop_prior(self.curr_kf, SE3(q, t),
+        self.mapper.add_loop_prior(kf, SE3(q, t),
                                    sigma=self.cfg.loop_sigma)
-        self.loop_links.append((self.curr_kf, ("arch", res.archived_idx)))
+        self.loop_links.append((kf, ("arch", res.archived_idx)))
         # re-optimize the live window under the new constraint: refresh the
         # photometric works of the current keyframe's newest back-connection
-        others = [s for s in self.mapper.kf_slots if s != self.curr_kf]
+        others = [s for s in self.mapper.kf_slots if s != kf]
         if others:
-            self.mapper._add_photo_pair(self.curr_kf, others[-1],
+            self.mapper._add_photo_pair(kf, others[-1],
                                         second_removes=True)
 
     def _link_exists(self, a: int, b: int) -> bool:
@@ -827,6 +1033,11 @@ class DeepFactors:
         fsd = self.mapper.frames
         L = m.pyramid_levels
         img = np.zeros((m.height, m.width), np.float32)
+        img_up = img
+        if self.cfg.frame_upload == "u8":
+            img_up = np.zeros((m.height, m.width), np.uint8)
+        elif self.cfg.frame_upload == "f16":
+            img_up = np.zeros((m.height, m.width), np.float16)
         if self.loop_detector is not None:
             ld = self.loop_detector
             voc_w, voc_i, db, dbv = (ld.voc.words, ld.voc.idf, ld.db,
@@ -834,7 +1045,7 @@ class DeepFactors:
         else:
             voc_w, voc_i, db, dbv = self._no_loop_db
         out = self._frame_fn(
-            img,
+            img_up,
             tuple(st.levels[l].img for l in range(L)),
             tuple(st.levels[l].dpt for l in range(L)),
             st.pose.q, st.pose.t, fsd.pose.q, fsd.pose.t,
@@ -862,7 +1073,7 @@ class DeepFactors:
                                           self.cfg.mapper.pyramid_levels))
             grads = tuple(ip.build_gradient_pyramid(pyrs))
             out2 = self._arch_reloc()(ld.arch_img, ld.arch_dpt, pyrs, grads)
-            jax.block_until_ready(out2[0])
+            jax.block_until_ready(out2)
         # batched loop verification over the padded candidate set
         if self.loop_detector is not None:
             ld = self.loop_detector
@@ -880,6 +1091,8 @@ class DeepFactors:
     def reset(self):
         self.mapper.reset()
         self.tracker.reset()
+        if self.loop_detector is not None:
+            self.loop_detector.reset()
         self.bootstrapped = False
         self.tracking_lost = False
         self.curr_kf = None
@@ -895,6 +1108,10 @@ class DeepFactors:
         self.n_frames = 0
         self.n_lost_frames = 0
         self.n_relocalizations = 0
+        self._pending.clear()
+        self._dev_prev = self._dev_prev2 = self._chain_vel = None
+        self._map_mutation_nframe = 0
+        self._newest_kf_pose = None
 
     def save_results(self, dir_path: str):
         """SaveResults (deepfactors.cpp:574-594): TUM trajectory + per-kf

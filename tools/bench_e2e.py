@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 def build_system(cam, H, W, decoder, max_keyframes=32,
                  dist_threshold=2.0, loop_closure=True,
-                 use_reprojection=True):
+                 use_reprojection=True, pipeline_depth=0,
+                 frame_upload="f32"):
     from deepfactors_tpu.mapping.mapper import MapperConfig
     from deepfactors_tpu.system import DeepFactors, SystemConfig
     from deepfactors_tpu.loop.vocabulary import default_vocabulary
@@ -57,6 +58,8 @@ def build_system(cam, H, W, decoder, max_keyframes=32,
         loop_closure=loop_closure,
         loop_active_window=8,
         loop_max_dist=0.35,
+        pipeline_depth=pipeline_depth,
+        frame_upload=frame_upload,
     )
     return DeepFactors(cfg, cam, decoder=decoder,
                        vocabulary=default_vocabulary() if loop_closure
@@ -82,6 +85,8 @@ def main():
     ap.add_argument("--scene-seed", type=int, default=7)
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--pipeline-depth", type=int, default=0,
+                    help="frames in flight (0 = sequential probe sync)")
     args = ap.parse_args()
 
     from deepfactors_tpu.utils.cache import enable_compilation_cache
@@ -132,7 +137,8 @@ def main():
 
     df = build_system(cam, H, W, decoder, args.max_keyframes,
                       args.dist_threshold,
-                      loop_closure=not args.no_loop_closure)
+                      loop_closure=not args.no_loop_closure,
+                      pipeline_depth=args.pipeline_depth)
     df.prewarm()   # compile every event variant before the run
     df.bootstrap_two_frames(frames[0], frames[2], frame_gap=2)
     # timestamps: frame index (the TUM protocol uses seconds; index is fine
@@ -149,6 +155,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(3 + args.warmup, args.frames):
         df.process_frame(float(i), frames[i])
+    df.flush()
     jax.block_until_ready(df.mapper.state.pose.t)
     dt = time.perf_counter() - t0
     n_timed = args.frames - 3 - args.warmup

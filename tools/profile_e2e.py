@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--no-loop", action="store_true")
     ap.add_argument("--no-rep", action="store_true")
+    ap.add_argument("--pipeline-depth", type=int, default=0)
+    ap.add_argument("--f16", action="store_true")
     args = ap.parse_args()
 
     from deepfactors_tpu.utils.cache import enable_compilation_cache
@@ -52,7 +54,9 @@ def main():
 
     df = build_system(cam, H, W, decoder, max_keyframes=10,
                       dist_threshold=2.0,
-                      use_reprojection=not args.no_rep)
+                      use_reprojection=not args.no_rep,
+                      pipeline_depth=args.pipeline_depth,
+                      frame_upload="f16" if args.f16 else "f32")
     if args.no_loop:
         df.loop_detector = None
     df.prewarm()   # compile every event variant before the run
@@ -63,6 +67,7 @@ def main():
         sys.exit(f"--frames {n} leaves no timed frames (need >= {4 + warm})")
     for i in range(3, 3 + warm):
         df.process_frame(float(i), frames[i])
+    df.flush()
     jax.block_until_ready(df.mapper.state.pose.t)
 
     timing.reset_timing()
@@ -84,6 +89,7 @@ def main():
                 df.n_relocalizations - nr0,
                 (len(df.mapper.kf_slots) + len(df.mapper.archived)) - nk0,
             ))
+        df.flush()
         jax.block_until_ready(df.mapper.state.pose.t)
     dt = time.perf_counter() - t0
     timing.enable_timing(False)
