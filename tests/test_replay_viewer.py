@@ -72,3 +72,54 @@ def test_main_writes_viewer(tmp_path, capsys):
         sys.argv = argv
     out = os.path.join(d, "viewer.html")
     assert os.path.exists(out) and os.path.getsize(out) > 10_000
+
+
+def test_live_viewer_streams_during_run(tmp_path):
+    """LiveViewer (tools/live_viewer.py): attach to a facade, run a short
+    CI-scale sequence, and check viewer.html exists mid-run with the
+    auto-refresh tag and keyframe files, then finish() drops the tag."""
+    import numpy as np
+
+    from deepfactors_tpu.geometry.camera import PinholeCamera
+    from deepfactors_tpu.io import synth
+    from deepfactors_tpu.mapping.mapper import MapperConfig
+    from deepfactors_tpu.system import DeepFactors, SystemConfig
+    from deepfactors_tpu.loop.vocabulary import random_vocabulary
+    from tools.live_viewer import LiveViewer
+
+    H, W = 48, 64
+    cam = PinholeCamera.create(fx=55.0, fy=55.0, u0=W / 2, v0=H / 2,
+                               width=W, height=H)
+    scene = synth.random_room(11, n_boxes=2, freq_scale=0.3)
+    n = 14
+    poses = synth.orbit_trajectory(n, radius=0.5, sweep=0.5 * np.pi)
+    frames, depths = synth.render_sequence(scene, cam, poses, H, W,
+                                           with_depth=True)
+    oracle = synth.OracleDecoder(frames, depths, levels=2, code_size=4)
+    cfg = SystemConfig(
+        mapper=MapperConfig(max_keyframes=4, max_frames=1, max_factors=16,
+                            code_size=4, height=H, width=W,
+                            pyramid_levels=2, pho_iters=(2, 3),
+                            connection_mode="LASTN", max_back_connections=2,
+                            use_schur=False),
+        dist_threshold=0.6, frame_dist_threshold=0.5,
+        loop_closure=True, loop_active_window=3, loop_max_dist=0.3,
+    )
+    df = DeepFactors(cfg, cam, decoder=oracle,
+                     vocabulary=random_vocabulary(64))
+    d = str(tmp_path)
+    lv = LiveViewer(d, df, every=3)
+    df.bootstrap_two_frames(frames[0], frames[1])
+    df.trajectory = [(0.0, df.pose_wc)]
+    mid_html_seen = False
+    for i in range(2, n):
+        df.process_frame(float(i), frames[i])
+        p = os.path.join(d, "viewer.html")
+        if os.path.exists(p) and "http-equiv=\"refresh\"" in open(p).read():
+            mid_html_seen = True
+    assert mid_html_seen, "no auto-refreshing viewer.html written mid-run"
+    assert any(f.startswith("kf_") for f in os.listdir(d))
+    lv.finish()
+    final = open(os.path.join(d, "viewer.html")).read()
+    assert "http-equiv=\"refresh\"" not in final
+    assert "const DATA" in final

@@ -87,6 +87,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--pipeline-depth", type=int, default=0,
                     help="frames in flight (0 = sequential probe sync)")
+    ap.add_argument("--viz-serve", default=None, metavar="DIR",
+                    help="live viewer: write DIR/viewer.html (auto-refresh)"
+                         " during the run — open it in a browser to watch"
+                         " the map grow (tools/live_viewer.py)")
     args = ap.parse_args()
 
     from deepfactors_tpu.utils.cache import enable_compilation_cache
@@ -144,6 +148,12 @@ def main():
     # timestamps: frame index (the TUM protocol uses seconds; index is fine
     # for ATE association)
     df.trajectory = [(0.0, df.pose_wc)]
+    viz = None
+    if args.viz_serve:
+        from tools.live_viewer import LiveViewer
+        viz = LiveViewer(args.viz_serve, df)
+        print(f"live viewer: open {args.viz_serve}/viewer.html",
+              file=sys.stderr)
 
     t_warm0 = time.perf_counter()
     for i in range(3, 3 + args.warmup):
@@ -160,6 +170,8 @@ def main():
     dt = time.perf_counter() - t0
     n_timed = args.frames - 3 - args.warmup
     fps = n_timed / dt
+    if viz is not None:
+        viz.finish()
 
     # ATE: associate estimated trajectory (timestamps = frame index) with GT
     est = df.trajectory
