@@ -63,7 +63,8 @@ def _texture(u: Array, v: Array, p: Array) -> Array:
 
 
 def random_room(seed: int = 0, n_boxes: int = 3,
-                freq_scale: float = 1.0) -> RoomScene:
+                freq_scale: float = 1.0,
+                size_scale: float = 1.0) -> RoomScene:
     """Sample a room: 4-7 m footprint, 2.5-3 m height, ``n_boxes`` boxes
     standing on the floor, random texture parameters per surface.
 
@@ -71,11 +72,18 @@ def random_room(seed: int = 0, n_boxes: int = 3,
     256-wide trained camera (finest component ≈ 7-12 px there); cameras with
     much smaller focal lengths must scale down or the fine texture aliases
     below ~3 px period and photometric alignment locks onto the wrong
-    texture phase (periodic-texture ambiguity)."""
+    texture phase (periodic-texture ambiguity).
+
+    ``size_scale`` scales the whole room geometry (footprint, height,
+    boxes): the depth-scale randomization axis. Default rooms put the
+    camera 2-3 m from most surfaces; real indoor frames reach 5-6 m
+    median depth (REALIMG: the predict head trained at 2-3 m LOSES to a
+    zero code exactly on ~4.5 m-median images — VERDICT r4 next #4), so
+    training sweeps size_scale to cover the far field."""
     rng = np.random.RandomState(seed)
-    lx = rng.uniform(4.0, 7.0)
-    ly = rng.uniform(2.5, 3.0)
-    lz = rng.uniform(4.0, 7.0)
+    lx = size_scale * rng.uniform(4.0, 7.0)
+    ly = size_scale * rng.uniform(2.5, 3.0)
+    lz = size_scale * rng.uniform(4.0, 7.0)
     room_min = np.array([-lx / 2, -ly / 2, -lz / 2], np.float32)
     room_max = np.array([lx / 2, ly / 2, lz / 2], np.float32)
 

@@ -206,6 +206,8 @@ class DeepFactors:
         self._map_mutation_nframe = 0  # last kf build/evict/resurrect
         self._newest_kf_pose: Optional[SE3] = None  # host pose of newest kf
         self._dev_slot_cache: dict = {}  # slot -> device int32 (one upload)
+        self._d_rate = 0.0               # EMA of per-frame kf-distance rate
+        self._last_kf_dist = float("nan")
         # coverage counters (bench honesty: an ATE over an unreported
         # subset of frames is not an ATE — VERDICT r3 weak #2)
         self.n_frames = 0             # process_frame calls
@@ -483,6 +485,17 @@ class DeepFactors:
             self._last_kf_dists = probe["d_full"]
 
         dist = float(probe["d_full"][kf])
+        # per-frame keyframe-distance rate (EMA): the pipelined mode makes
+        # decisions pipeline_depth frames late, so the keyframe policy
+        # fires when the camera is already depth*rate PAST the threshold —
+        # at fast pacing that overshoot breaks tracking (measured: 16%
+        # tracked at 3x pacing). The rate feeds a threshold lookahead in
+        # _new_keyframe_required.
+        if np.isfinite(dist) and np.isfinite(self._last_kf_dist):
+            rate = max(0.0, dist - self._last_kf_dist)
+            if rate < self.cfg.dist_threshold:   # divergence is not motion
+                self._d_rate = 0.7 * self._d_rate + 0.3 * rate
+        self._last_kf_dist = dist
         if stale and self._newest_kf_pose is not None:
             # a keyframe was created AFTER this frame's dispatch (likely
             # from the frame right before it): its probe distance to the
@@ -537,6 +550,7 @@ class DeepFactors:
             self._set_current_kf(slot)
             self._map_mutation_nframe = self.n_frames
             self._newest_kf_pose = self.pose_wc
+            self._last_kf_dist = float("nan")  # rate: skip event boundary
             # the cached probe distances predate this keyframe; it was
             # created AT the camera pose, so it is the closest by
             # construction — without this, next frame's CLOSEST selection
@@ -904,9 +918,18 @@ class DeepFactors:
             return False
         inliers = probe["inliers"]
         distance = float(probe["d_full"][self.curr_kf if kf is None else kf])
+        # pipelined lookahead: decisions act pipeline_depth frames late
+        # (and the event lands one more frame later), so fire the policy
+        # early by the camera's measured per-frame distance rate — the
+        # EFFECTIVE keyframe spacing then matches the sequential mode
+        # instead of overshooting by (depth+1) frames of motion
+        lead = self.cfg.pipeline_depth
+        thresh = self.cfg.dist_threshold
+        if lead > 0 and np.isfinite(self._d_rate):
+            thresh = max(0.5 * thresh, thresh - lead * self._d_rate)
         if mode == "AUTO":
             return (inliers < self.cfg.inlier_threshold
-                    or distance > self.cfg.dist_threshold)
+                    or distance > thresh)
         # AUTO_COMBINED
         delta = distance * 5 + probe["rot"] * 3
         return delta > self.cfg.combined_threshold or \
@@ -1140,6 +1163,8 @@ class DeepFactors:
         self._dev_prev = self._dev_prev2 = self._chain_vel = None
         self._map_mutation_nframe = 0
         self._newest_kf_pose = None
+        self._d_rate = 0.0
+        self._last_kf_dist = float("nan")
 
     def save_results(self, dir_path: str):
         """SaveResults (deepfactors.cpp:574-594): TUM trajectory + per-kf

@@ -74,8 +74,15 @@ def build_dataset(rooms, poses_per_room, H, W, cam, seed=0, n_boxes=3,
         if randomize:
             nb = int(rng.randint(0, 6))
             fs = float(rng.uniform(0.7, 1.3))
-            sc = synth.random_room(seed * 7919 + r, nb, freq_scale=fs)
-            ps = random_poses(poses_per_room, r_max=1.5, roll_amp=0.25)
+            # depth-scale axis (VERDICT r4 next #4): sweep the room size so
+            # views cover ~1.5-7 m median depth — the r4-randomized weights
+            # under-covered the far field (rooms 2-3 m deep; real indoor
+            # frames 4.5-6 m) and the predict head lost to a zero code on
+            # exactly the far-field REALIMG images
+            ss = float(rng.uniform(0.75, 2.2))
+            sc = synth.random_room(seed * 7919 + r, nb, freq_scale=fs,
+                                   size_scale=ss)
+            ps = random_poses(poses_per_room, r_max=1.5 * ss, roll_amp=0.25)
         else:
             sc = synth.random_room(seed * 7919 + r, n_boxes)
             ps = random_poses(poses_per_room)
