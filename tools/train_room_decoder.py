@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 
 def build_dataset(rooms, poses_per_room, H, W, cam, seed=0, n_boxes=3,
-                  randomize=False):
+                  randomize=False, scale_range=(0.75, 2.2)):
     """Pre-render [rooms*poses, H, W] images + depths on device.
 
     ``randomize=True`` is the domain-randomization tier (VERDICT r3 next
@@ -79,7 +79,7 @@ def build_dataset(rooms, poses_per_room, H, W, cam, seed=0, n_boxes=3,
             # under-covered the far field (rooms 2-3 m deep; real indoor
             # frames 4.5-6 m) and the predict head lost to a zero code on
             # exactly the far-field REALIMG images
-            ss = float(rng.uniform(0.75, 2.2))
+            ss = float(rng.uniform(*scale_range))
             sc = synth.random_room(seed * 7919 + r, nb, freq_scale=fs,
                                    size_scale=ss)
             ps = random_poses(poses_per_room, r_max=1.5 * ss, roll_amp=0.25)
@@ -155,6 +155,10 @@ def main():
                     help="domain randomization: varied geometry/texture "
                          "scale/camera roll + photometric augmentation of "
                          "the decoder input (VERDICT r3 next #5)")
+    ap.add_argument("--scale-lo", type=float, default=0.75,
+                    help="room size_scale randomization lower bound")
+    ap.add_argument("--scale-hi", type=float, default=2.2,
+                    help="room size_scale randomization upper bound")
     args = ap.parse_args()
 
     from deepfactors_tpu.utils.cache import enable_compilation_cache
@@ -179,11 +183,14 @@ def main():
 
     print("rendering training set...", flush=True)
     t0 = time.time()
+    sr = (args.scale_lo, args.scale_hi)
     imgs, dpts = build_dataset(args.rooms, args.poses_per_room, H, W, cam,
-                               seed=0, randomize=args.randomize)
+                               seed=0, randomize=args.randomize,
+                               scale_range=sr)
     val_imgs, val_dpts = build_dataset(args.val_rooms, 16, H, W, cam,
                                        seed=99991,
-                                       randomize=args.randomize)
+                                       randomize=args.randomize,
+                                       scale_range=sr)
     gts = wp.depth_to_prox(dpts, AVG_DPT)
     n = imgs.shape[0]
     jax.block_until_ready(gts)
