@@ -69,7 +69,7 @@ def build_system(cam, H, W, decoder, max_keyframes=32,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=300)
-    ap.add_argument("--decoder", default="data/nets/room256_32")
+    ap.add_argument("--decoder", default="data/nets/room256_32v4")
     ap.add_argument("--no-decoder", action="store_true")
     ap.add_argument("--oracle", action="store_true",
                     help="GT-depth OracleDecoder (io/synth.py): the solver/"
@@ -197,6 +197,8 @@ def main():
         "n_loop_links": len(df.loop_links),
         "n_archived_loops": sum(1 for _, b in df.loop_links
                                 if isinstance(b, tuple)),
+        "n_live_global_loops": df.n_live_global_loops,
+        "n_local_links": df.n_local_links,
         "final_err_m": round(final_err, 4),
         "frames": args.frames,
         "n_nonfinite_poses": n_bad,

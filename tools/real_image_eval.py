@@ -300,7 +300,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="data/REALIMG.json")
-    ap.add_argument("--decoder", default="data/nets/room256_32v2",
+    ap.add_argument("--decoder", default="data/nets/room256_32v4",
                     help="domain-randomized weights: the real-imagery set "
                          "(the in-domain room256_32 weights predict "
                          "catastrophically off-distribution)")
