@@ -550,7 +550,11 @@ class DeepFactors:
             self._set_current_kf(slot)
             self._map_mutation_nframe = self.n_frames
             self._newest_kf_pose = self.pose_wc
-            self._last_kf_dist = float("nan")  # rate: skip event boundary
+            # rate baseline: the new keyframe sits AT this frame's pose, so
+            # the next frame's distance to it IS the per-frame rate (a NaN
+            # reset here left the rate unmeasured at keyframe-per-frame
+            # pacing — exactly where the lookahead matters most)
+            self._last_kf_dist = 0.0
             # the cached probe distances predate this keyframe; it was
             # created AT the camera pose, so it is the closest by
             # construction — without this, next frame's CLOSEST selection
